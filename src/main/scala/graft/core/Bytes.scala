@@ -1,0 +1,78 @@
+package graft.core
+
+/** Growable append-only byte buffer used by every codec's encode hot loop.
+  *
+  * Kept deliberately primitive (flat Array[Byte], manual length) so the
+  * per-token encode loop stays monomorphic and JIT-friendly — the JVM analog
+  * of the reference's out-of-place bulk encode into a caller-owned buffer
+  * (/root/reference/src/FsstWrapper.cpp:31-52).
+  */
+final class ByteWriter(initialCapacity: Int = 4096) {
+  private var buf = new Array[Byte](math.max(initialCapacity, 16))
+  private var len = 0
+
+  def size: Int = len
+
+  private def ensure(n: Int): Unit = {
+    if (len + n > buf.length) {
+      var cap = buf.length << 1
+      while (cap < len + n) cap <<= 1
+      buf = java.util.Arrays.copyOf(buf, cap)
+    }
+  }
+
+  def writeByte(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
+
+  def writeBytes(src: Array[Byte], from: Int, n: Int): Unit = {
+    ensure(n); System.arraycopy(src, from, buf, len, n); len += n
+  }
+
+  /** Unsigned LEB128. Only call with v >= 0. */
+  def writeVarUInt(v: Int): Unit = {
+    ensure(5)
+    var u = v
+    while ((u & ~0x7f) != 0) { buf(len) = ((u & 0x7f) | 0x80).toByte; len += 1; u >>>= 7 }
+    buf(len) = u.toByte; len += 1
+  }
+
+  /** ZigZag + LEB128: round-trips any Int32 (negative tokens included). */
+  def writeZigZag(v: Int): Unit = writeVarUInt0((v << 1) ^ (v >> 31))
+
+  // LEB128 over the raw 32-bit pattern (value may have high bit set).
+  private def writeVarUInt0(v: Int): Unit = {
+    ensure(5)
+    var u = v
+    while ((u & ~0x7f) != 0) { buf(len) = ((u & 0x7f) | 0x80).toByte; len += 1; u >>>= 7 }
+    buf(len) = u.toByte; len += 1
+  }
+
+  def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+}
+
+/** Cursor-style reader over a byte slice; mirror of ByteWriter. */
+final class ByteReader(val bytes: Array[Byte], from: Int, val to: Int) {
+  var pos: Int = from
+  def hasMore: Boolean = pos < to
+  def readByte(): Int = { val b = bytes(pos) & 0xff; pos += 1; b }
+  def readVarUInt(): Int = {
+    var shift = 0; var result = 0; var b = 0
+    do {
+      b = bytes(pos) & 0xff; pos += 1
+      result |= (b & 0x7f) << shift; shift += 7
+    } while ((b & 0x80) != 0)
+    result
+  }
+  def readZigZag(): Int = { val u = readVarUInt(); (u >>> 1) ^ -(u & 1) }
+}
+
+object Varint {
+  /** Encoded size in bytes of zigzag+LEB128 for token t (1..5). */
+  def zigzagLen(t: Int): Int = {
+    var u = (t << 1) ^ (t >> 31)
+    var n = 1
+    while ((u & ~0x7f) != 0) { n += 1; u >>>= 7 }
+    n
+  }
+  /** Byte cost of token t stored as an FSST escape: escape marker + varint. */
+  def escapeCost(t: Int): Int = 1 + zigzagLen(t)
+}

@@ -1,0 +1,277 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Per-chunk codec contract. A chunk is encoded as:
+  *   header bytes (codec-specific: symbol table / dictionary / FoR params)
+  *   + per-row payloads, each starting with varUInt(nTokens).
+  *
+  * The uniform row-count prefix lets every decoder preallocate and gives the
+  * pattern matchers a cheap length gate (prefix/equality early exit).
+  */
+trait ChunkCodec extends Serializable {
+  def name: String
+  /** Build the chunk header from the chunk's own rows + exact stats (the
+    * reference trains each block on itself: /root/reference/src/BenchmarkDriver.cpp:87-140).
+    */
+  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte]
+  def encoder(header: Array[Byte]): RowEncoder
+  def decoder(header: Array[Byte]): RowDecoder
+}
+
+trait RowEncoder { def encode(toks: Array[Int], out: ByteWriter): Unit; def escapeCount: Long = 0L }
+trait RowDecoder { def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] }
+
+// ---------------------------------------------------------------------------
+// FSST-for-tokens
+// ---------------------------------------------------------------------------
+
+/** Codes 0..254 reference symbols (1–8 tokens); 255 = escape + zigzag-varint
+  * literal token. Byte-stream layout re-specified from the reference's
+  * compressed form (/root/reference/src/FsstWrapper.hpp:66-161) for the token
+  * alphabet (SURVEY.md §2.2).
+  */
+object FsstTokenCodec extends ChunkCodec {
+  val name = "fsst"
+
+  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] =
+    FsstTrainer.train(rows).toBytes
+
+  def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
+    private val st = SymTab.fromBytes(header)
+    private var esc = 0L
+    override def escapeCount: Long = esc
+    def encode(toks: Array[Int], out: ByteWriter): Unit = {
+      val n = toks.length
+      out.writeVarUInt(n)
+      var i = 0
+      while (i < n) {
+        val code = st.longestMatch(toks, i, n)
+        if (code >= 0) { out.writeByte(code); i += st.symLen(code) }
+        else { out.writeByte(SymTab.EscapeCode); out.writeZigZag(toks(i)); i += 1; esc += 1 }
+      }
+    }
+  }
+
+  def decoder(header: Array[Byte]): RowDecoder = new RowDecoder {
+    private val st = SymTab.fromBytes(header)
+    def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] = {
+      val r = new ByteReader(bytes, from, to)
+      val n = r.readVarUInt()
+      val out = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        val b = r.readByte()
+        if (b == SymTab.EscapeCode) { out(k) = r.readZigZag(); k += 1 }
+        else {
+          val s = st.symbol(b)
+          var j = 0
+          while (j < s.length) { out(k) = s(j); k += 1; j += 1 }
+        }
+      }
+      out
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Dictionary + bit-packed indices
+// ---------------------------------------------------------------------------
+
+object DictCodec extends ChunkCodec {
+  val name = "dict"
+  val MaxCard = 4096
+
+  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] = {
+    val dict = stats.distinctSorted.getOrElse(
+      throw new IllegalStateException("dict codec needs exact distinct set"))
+    val w = new ByteWriter(dict.length * 2 + 8)
+    w.writeVarUInt(dict.length)
+    var i = 0
+    while (i < dict.length) { w.writeZigZag(dict(i)); i += 1 }
+    w.toBytes
+  }
+
+  private def readDict(header: Array[Byte]): Array[Int] = {
+    val r = new ByteReader(header, 0, header.length)
+    val card = r.readVarUInt()
+    val dict = new Array[Int](card)
+    var i = 0
+    while (i < card) { dict(i) = r.readZigZag(); i += 1 }
+    dict
+  }
+
+  def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
+    private val dict = readDict(header)
+    private val width = BitPack.bitsFor(dict.length - 1)
+    private val idx = {
+      val m = mutable.LongMap.empty[Int]
+      var i = 0
+      while (i < dict.length) { m(dict(i).toLong) = i; i += 1 }
+      m
+    }
+    def encode(toks: Array[Int], out: ByteWriter): Unit = {
+      out.writeVarUInt(toks.length)
+      BitPack.pack(toks, t => idx(t.toLong), width, out)
+    }
+  }
+
+  def decoder(header: Array[Byte]): RowDecoder = new RowDecoder {
+    private val dict = readDict(header)
+    private val width = BitPack.bitsFor(dict.length - 1)
+    def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] = {
+      val r = new ByteReader(bytes, from, to)
+      val n = r.readVarUInt()
+      BitPack.unpack(bytes, r.pos, n, width, i => dict(i))
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Run-length encoding
+// ---------------------------------------------------------------------------
+
+object RleCodec extends ChunkCodec {
+  val name = "rle"
+  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] = Array.emptyByteArray
+  def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
+    def encode(toks: Array[Int], out: ByteWriter): Unit = {
+      val n = toks.length
+      out.writeVarUInt(n)
+      var i = 0
+      while (i < n) {
+        val v = toks(i)
+        var run = 1
+        while (i + run < n && toks(i + run) == v) run += 1
+        out.writeVarUInt(run)
+        out.writeZigZag(v)
+        i += run
+      }
+    }
+  }
+  def decoder(header: Array[Byte]): RowDecoder = new RowDecoder {
+    def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] = {
+      val r = new ByteReader(bytes, from, to)
+      val n = r.readVarUInt()
+      val out = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        val run = r.readVarUInt()
+        val v = r.readZigZag()
+        var j = 0
+        while (j < run) { out(k) = v; k += 1; j += 1 }
+      }
+      out
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Frame-of-reference (+ plain bit-packing as the base==0 special case)
+// ---------------------------------------------------------------------------
+
+/** Header: zigzag(base), byte(width). Rows: varUInt(n) + n width-bit deltas. */
+class ForLikeCodec(val name: String) extends ChunkCodec {
+  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] = {
+    val base = if (name == "bitpack") 0 else stats.minTok
+    val width = BitPack.bitsFor(stats.maxTok.toLong - base)
+    val w = new ByteWriter(8)
+    w.writeZigZag(base)
+    w.writeByte(width)
+    w.toBytes
+  }
+  private def params(header: Array[Byte]): (Int, Int) = {
+    val r = new ByteReader(header, 0, header.length)
+    (r.readZigZag(), r.readByte())
+  }
+  def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
+    private val (base, width) = params(header)
+    def encode(toks: Array[Int], out: ByteWriter): Unit = {
+      out.writeVarUInt(toks.length)
+      BitPack.pack(toks, t => t - base, width, out)
+    }
+  }
+  def decoder(header: Array[Byte]): RowDecoder = new RowDecoder {
+    private val (base, width) = params(header)
+    def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] = {
+      val r = new ByteReader(bytes, from, to)
+      val n = r.readVarUInt()
+      BitPack.unpack(bytes, r.pos, n, width, d => d + base)
+    }
+  }
+}
+object ForCodec extends ForLikeCodec("for")
+object BitPackCodec extends ForLikeCodec("bitpack")
+
+// ---------------------------------------------------------------------------
+// Raw varint fallback
+// ---------------------------------------------------------------------------
+
+object RawCodec extends ChunkCodec {
+  val name = "raw"
+  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] = Array.emptyByteArray
+  def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
+    def encode(toks: Array[Int], out: ByteWriter): Unit = {
+      out.writeVarUInt(toks.length)
+      var i = 0
+      while (i < toks.length) { out.writeZigZag(toks(i)); i += 1 }
+    }
+  }
+  def decoder(header: Array[Byte]): RowDecoder = new RowDecoder {
+    def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] = {
+      val r = new ByteReader(bytes, from, to)
+      val n = r.readVarUInt()
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) { out(i) = r.readZigZag(); i += 1 }
+      out
+    }
+  }
+}
+
+/** LSB-first bit packing shared by dict / FoR / bitpack. width 0..32. */
+object BitPack {
+  def bitsFor(maxValue: Long): Int = {
+    require(maxValue >= 0)
+    if (maxValue == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(maxValue)
+  }
+  def pack(toks: Array[Int], f: Int => Int, width: Int, out: ByteWriter): Unit = {
+    if (width == 0) return
+    var acc = 0L
+    var nbits = 0
+    var i = 0
+    while (i < toks.length) {
+      acc |= (f(toks(i)).toLong & 0xffffffffL) << nbits
+      nbits += width
+      while (nbits >= 8) { out.writeByte((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
+      i += 1
+    }
+    if (nbits > 0) out.writeByte((acc & 0xff).toInt)
+  }
+  def unpack(bytes: Array[Byte], from: Int, n: Int, width: Int, f: Int => Int): Array[Int] = {
+    val out = new Array[Int](n)
+    if (width == 0) {
+      var i = 0
+      while (i < n) { out(i) = f(0); i += 1 }
+      return out
+    }
+    var acc = 0L
+    var nbits = 0
+    var pos = from
+    val mask = if (width == 32) 0xffffffffL else (1L << width) - 1
+    var i = 0
+    while (i < n) {
+      while (nbits < width) { acc |= (bytes(pos) & 0xffL) << nbits; pos += 1; nbits += 8 }
+      out(i) = f((acc & mask).toInt)
+      acc >>>= width
+      nbits -= width
+      i += 1
+    }
+    out
+  }
+}
+
+object Codecs {
+  val all: Seq[ChunkCodec] = Seq(FsstTokenCodec, DictCodec, RleCodec, ForCodec, BitPackCodec, RawCodec)
+  val byName: Map[String, ChunkCodec] = all.map(c => c.name -> c).toMap
+}

@@ -1,0 +1,124 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** FSST-style symbol table generalized from bytes to int32 tokens.
+  *
+  * Up to 255 symbols of 1–8 tokens each; code 255 is the escape marker for a
+  * literal (varint-encoded) token. Mirrors the shape the reference relies on
+  * (≤255 entries of 1–8 bytes, escape code 255 —
+  * /root/reference/src/FsstWrapper.hpp:133, escape handling :93-108), but the
+  * construction, layout, and lookup are re-derived for the int-token alphabet
+  * (SURVEY.md §2.2): vocab ≫ 255 so escaped literals are varints, not single
+  * bytes.
+  *
+  * Encode is canonical greedy longest-match (ties by lowest code), which makes
+  * constant re-encoding sound for equality pushdown (SURVEY.md §2.1 E5 caveat).
+  */
+final class SymTab(val syms: Array[Array[Int]]) extends Serializable {
+  require(syms.length <= SymTab.MaxSymbols, s"too many symbols: ${syms.length}")
+  require(syms.forall(s => s.length >= 1 && s.length <= SymTab.MaxSymbolLen))
+
+  val nSymbols: Int = syms.length
+
+  /** first-token -> codes, longest symbol first (then lowest code) so a
+    * linear scan of candidates yields the canonical longest match.
+    */
+  @transient private lazy val index: mutable.LongMap[Array[Int]] = {
+    val m = mutable.LongMap.empty[mutable.ArrayBuffer[Int]]
+    var c = 0
+    while (c < syms.length) {
+      m.getOrElseUpdate(syms(c)(0).toLong, mutable.ArrayBuffer.empty[Int]) += c
+      c += 1
+    }
+    val out = mutable.LongMap.empty[Array[Int]]
+    m.foreach { case (k, codes) =>
+      out(k) = codes.sortBy(c => (-syms(c).length, c)).toArray
+    }
+    out
+  }
+
+  def symbol(code: Int): Array[Int] = syms(code)
+  def symLen(code: Int): Int = syms(code).length
+
+  /** Longest symbol matching tokens[pos until end); -1 if none. */
+  def longestMatch(tokens: Array[Int], pos: Int, end: Int): Int = {
+    val cands = index.getOrNull(tokens(pos).toLong)
+    if (cands == null) return -1
+    var i = 0
+    while (i < cands.length) {
+      val c = cands(i)
+      val s = syms(c)
+      val L = s.length
+      if (pos + L <= end) {
+        var j = 1
+        while (j < L && tokens(pos + j) == s(j)) j += 1
+        if (j == L) return c
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Serialized form: [version][nSymbols][per symbol: len, len zigzag tokens].
+    * The analog of fsst_export (/root/reference/src/FsstWrapper.cpp:67-75),
+    * re-specified for token symbols.
+    */
+  def toBytes: Array[Byte] = {
+    val w = new ByteWriter(64)
+    w.writeByte(SymTab.FormatVersion)
+    w.writeByte(syms.length)
+    var c = 0
+    while (c < syms.length) {
+      val s = syms(c)
+      w.writeByte(s.length)
+      var j = 0
+      while (j < s.length) { w.writeZigZag(s(j)); j += 1 }
+      c += 1
+    }
+    w.toBytes
+  }
+
+  /** Content hash for DFA-cache keying (consecutive chunks in a partition
+    * often share a table; SURVEY.md §2.1 K3).
+    */
+  @transient lazy val contentHash: Long = {
+    var h = 0xcbf29ce484222325L
+    var c = 0
+    while (c < syms.length) {
+      val s = syms(c)
+      var j = 0
+      while (j < s.length) { h = (h ^ s(j)) * 0x100000001b3L; j += 1 }
+      h = (h ^ 0x1f) * 0x100000001b3L
+      c += 1
+    }
+    h
+  }
+}
+
+object SymTab {
+  val MaxSymbols = 255        // codes 0..254; 255 = escape
+  val MaxSymbolLen = 8        // symbols are 1–8 tokens (north_star)
+  val EscapeCode = 255
+  val FormatVersion = 1
+
+  val empty = new SymTab(Array.empty)
+
+  def fromBytes(bytes: Array[Byte]): SymTab = {
+    val r = new ByteReader(bytes, 0, bytes.length)
+    val ver = r.readByte()
+    require(ver == FormatVersion, s"unknown symtab version $ver")
+    val n = r.readByte()
+    val syms = new Array[Array[Int]](n)
+    var c = 0
+    while (c < n) {
+      val len = r.readByte()
+      val s = new Array[Int](len)
+      var j = 0
+      while (j < len) { s(j) = r.readZigZag(); j += 1 }
+      syms(c) = s
+      c += 1
+    }
+    new SymTab(syms)
+  }
+}

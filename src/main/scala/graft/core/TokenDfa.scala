@@ -1,0 +1,96 @@
+package graft.core
+
+/** KMP automaton over the token alphabet — the reference's StateMachine
+  * (/root/reference/src/StateMachine.hpp:307-332 builds pi; :70-80 steps)
+  * re-derived for int32 tokens. States 0..m; m is the accepting state and the
+  * automaton keeps running past accepts (needed for suffix matching).
+  */
+final class TokenDfa(val pattern: Array[Int]) extends Serializable {
+  val m: Int = pattern.length
+
+  /** pi(i) = length of the longest proper border of pattern[0..i]. */
+  val pi: Array[Int] = {
+    val p = new Array[Int](math.max(m, 1))
+    var k = 0
+    var i = 1
+    while (i < m) {
+      while (k > 0 && pattern(i) != pattern(k)) k = p(k - 1)
+      if (pattern(i) == pattern(k)) k += 1
+      p(i) = k
+      i += 1
+    }
+    p
+  }
+
+  def step(state: Int, tok: Int): Int = {
+    var s = if (state == m && m > 0) pi(m - 1) else state
+    while (s > 0 && pattern(s) != tok) s = pi(s - 1)
+    if (m > 0 && pattern(s) == tok) s + 1 else 0
+  }
+}
+
+/** Per-(pattern, symbol-table) lookup table: one transition consumes a whole
+  * FSST symbol — the reference's "lookup-KMP" (state,code)→(state′,stop_pos)
+  * precompute (/root/reference/src/StateMachine.hpp:41-60, used by
+  * /root/reference/src/algos/Comet.hpp:63-78). stop_pos (token count consumed
+  * at the earliest accept inside the symbol) drives multi-infix resume
+  * (/root/reference/src/MetaStateMachine.hpp:107-112).
+  */
+final class CodeDfa(val dfa: TokenDfa, st: SymTab) {
+  private val m = dfa.m
+  private val nSym = st.nSymbols
+  private val nextTab = new Array[Int]((m + 1) * math.max(nSym, 1))
+  private val accTab = new Array[Int]((m + 1) * math.max(nSym, 1))
+
+  {
+    var s = 0
+    while (s <= m) {
+      var c = 0
+      while (c < nSym) {
+        val sym = st.symbol(c)
+        var cur = s
+        var acc = -1
+        var j = 0
+        while (j < sym.length) {
+          cur = dfa.step(cur, sym(j))
+          j += 1
+          if (cur == m && acc < 0) acc = j
+        }
+        nextTab(s * nSym + c) = cur
+        accTab(s * nSym + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+  }
+
+  @inline def next(state: Int, code: Int): Int = nextTab(state * nSym + code)
+  /** Tokens consumed within the symbol at the earliest accept; -1 = no accept. */
+  @inline def acceptPos(state: Int, code: Int): Int = accTab(state * nSym + code)
+}
+
+/** Machine chain for one pattern against one symbol table; cached per
+  * (pattern, symtab.contentHash) since consecutive chunks in a partition share
+  * tables (SURVEY.md §4 O3).
+  */
+final class PatternMachine(val parts: Array[Array[Int]], val st: SymTab) {
+  val dfas: Array[TokenDfa] = parts.map(new TokenDfa(_))
+  val codeDfas: Array[CodeDfa] = dfas.map(new CodeDfa(_, st))
+}
+
+object PatternMachine {
+  private val cache = new ThreadLocal[java.util.LinkedHashMap[(Long, Int), PatternMachine]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[(Long, Int), PatternMachine](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[(Long, Int), PatternMachine]) = size > 32
+      }
+  }
+  /** patternId must uniquely identify `parts` within the calling expression. */
+  def forTable(st: SymTab, patternId: Int, parts: Array[Array[Int]]): PatternMachine = {
+    val key = (st.contentHash, patternId)
+    val c = cache.get()
+    var pm = c.get(key)
+    if (pm == null) { pm = new PatternMachine(parts, st); c.put(key, pm) }
+    pm
+  }
+}

@@ -1,0 +1,119 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import scala.util.Random
+
+/** DFA equivalence: every compressed-domain matcher must agree with the
+  * token-domain oracle on every (row, pattern) pair — the structural copy of
+  * the reference's oracle dual-run (/root/reference/sketch.cc:1333-1337) and
+  * its notebook cross-validation (algorithm.ipynb cell-1 asserts).
+  */
+class MatcherSpec extends AnyFunSuite {
+
+  def checkProp(p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Small alphabet so patterns actually occur and symbols overlap patterns. */
+  private val genRow: Gen[Array[Int]] =
+    Gen.choose(0, 120).flatMap(n => Gen.containerOfN[Array, Int](n, Gen.choose(0, 6)))
+  private val genPart: Gen[Array[Int]] =
+    Gen.choose(1, 9).flatMap(n => Gen.containerOfN[Array, Int](n, Gen.choose(0, 6)))
+
+  private def encodeAll(rows: IndexedSeq[Array[Int]]): (SymTab, Array[Byte], Array[Int]) = {
+    val header = FsstTokenCodec.buildHeader(rows, ChunkStats.compute(rows))
+    val st = SymTab.fromBytes(header)
+    val enc = FsstTokenCodec.encoder(header)
+    val out = new ByteWriter()
+    val offsets = new Array[Int](rows.length + 1)
+    rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offsets(i + 1) = out.size }
+    (st, out.toBytes, offsets)
+  }
+
+  test("single-part matchers agree with token oracle (property)") {
+    checkProp(Prop.forAll(Gen.listOfN(20, genRow), genPart) { (rowsL, part) =>
+      val rows = rowsL.toIndexedSeq
+      val (st, data, off) = encodeAll(rows)
+      val pm = new PatternMachine(Array(part), st)
+      rows.indices.forall { i =>
+        val r = rows(i)
+        FsstMatch.contains(data, off(i), off(i + 1), pm) == TokenMatch.contains(r, part) &&
+        FsstMatch.prefix(data, off(i), off(i + 1), st, part) == TokenMatch.prefix(r, part) &&
+        FsstMatch.suffix(data, off(i), off(i + 1), pm) == TokenMatch.suffix(r, part) &&
+        FsstMatch.equalsPat(data, off(i), off(i + 1), st, part) == TokenMatch.equalsPat(r, part)
+      }
+    })
+  }
+
+  test("multi-infix agrees with naive ordered matcher (property)") {
+    val genParts = Gen.choose(1, 4).flatMap(k => Gen.listOfN(k, genPart)).map(_.toArray)
+    checkProp(Prop.forAll(Gen.listOfN(20, genRow), genParts) { (rowsL, parts) =>
+      val rows = rowsL.toIndexedSeq
+      val (st, data, off) = encodeAll(rows)
+      val pm = new PatternMachine(parts, st)
+      rows.indices.forall { i =>
+        FsstMatch.multiInfix(data, off(i), off(i + 1), pm) == TokenMatch.multiInfix(rows(i), parts)
+      }
+    })
+  }
+
+  test("multi-infix resume-at-stop_pos edge: parts sharing one symbol") {
+    // Build rows where a single trained symbol spans the boundary between
+    // part1's end and part2's start (MetaStateMachine.hpp:107-112 edge).
+    val phrase = Array(1, 2, 3, 4, 5, 6)
+    val rows = (0 until 300).map { i =>
+      if (i % 3 == 0) Array(9, 9) ++ phrase ++ Array(9)
+      else Array(8, 8, 8) ++ phrase ++ phrase
+    }
+    val (st, data, off) = encodeAll(rows)
+    // phrase should be (part of) a symbol after training
+    val parts = Array(Array(1, 2, 3), Array(4, 5, 6)) // split inside the symbol
+    val pm = new PatternMachine(parts, st)
+    rows.indices.foreach { i =>
+      assert(FsstMatch.multiInfix(data, off(i), off(i + 1), pm) ==
+        TokenMatch.multiInfix(rows(i), parts), s"row $i")
+    }
+  }
+
+  test("edge patterns: empty, longer-than-row, equal-to-row, absent, everywhere") {
+    val rows = IndexedSeq(
+      Array.emptyIntArray, Array(5), Array(1, 2, 3), Array.fill(100)(7), (0 until 50).toArray)
+    val (st, data, off) = encodeAll(rows)
+    def check(mode: String, parts: Array[Array[Int]]): Unit = {
+      val pm = new PatternMachine(parts, st)
+      rows.indices.foreach { i =>
+        assert(FsstMatch.eval(mode, pm, data, off(i), off(i + 1)) ==
+          TokenMatch.eval(mode, parts, rows(i)), s"$mode row $i")
+      }
+    }
+    val pats = Seq(
+      Array(1, 2, 3), Array.fill(200)(7), Array(7), Array(99), (0 until 50).toArray)
+    for (p <- pats; mode <- Seq("contains", "prefix", "suffix", "equals"))
+      check(mode, Array(p))
+    check("multi_infix", Array(Array(1), Array(3)))
+    check("multi_infix", Array(Array(7), Array(7), Array(7)))
+  }
+
+  test("zipf corpus: planted phrase found exactly (hero %special% analog)") {
+    val rnd = new Random(42)
+    val hot = Array(1001, 1002, 1003) // "special requests" analog
+    val rows = (0 until 2000).map { i =>
+      val n = 20 + rnd.nextInt(80)
+      val base = Array.fill(n)(rnd.nextInt(30000))
+      if (i % 100 == 0) {
+        val at = rnd.nextInt(n - 3)
+        hot.indices.foreach(j => base(at + j) = hot(j))
+      }
+      base
+    }
+    val (st, data, off) = encodeAll(rows)
+    val pm = new PatternMachine(Array(hot), st)
+    val got = rows.indices.filter(i => FsstMatch.contains(data, off(i), off(i + 1), pm))
+    val want = rows.indices.filter(i => TokenMatch.contains(rows(i), hot))
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+}
