@@ -1,0 +1,158 @@
+package graft
+
+import graft.encode.{EncodeJob, EncodeOptions}
+import graft.query.Graft
+import graft.spark.Tokenize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Driver-contract query implementations (SparkEntry.queries) with their
+  * DuckDB oracles (SparkEntry.oracleSql). Every engine query runs the full
+  * pipeline — tokenize → explicit-bucket shuffle → chunk encode → compressed
+  * query / decode — and returns a result a string-domain DuckDB query over
+  * the same parquet can reproduce exactly (the token↔word mapping is a
+  * bijection on the corpus vocabulary).
+  */
+object Queries {
+
+  // one encode per (sfDir, flavor) per session — queries share the chunk table
+  private val chunkCache = mutable.HashMap.empty[(String, String), DataFrame]
+  private val vocabCache = mutable.HashMap.empty[String, Map[String, Int]]
+
+  def vocab(spark: SparkSession, dir: String): Map[String, Int] = synchronized {
+    vocabCache.getOrElseUpdate(dir,
+      Tokenize.vocabulary(spark.read.parquet(s"$dir/documents.parquet")))
+  }
+
+  /** FSST-forced chunks: the pattern-query path (compressed-domain DFA). */
+  def fsstChunks(spark: SparkSession, dir: String): DataFrame = synchronized {
+    chunkCache.getOrElseUpdate((dir, "fsst"), {
+      Graft.install(spark)
+      val (input, _) = Tokenize.documents(spark, dir)
+      EncodeJob.encode(input, EncodeOptions(forceCodec = Some("fsst"))).toDF().cache()
+    })
+  }
+
+  /** Auto-selected chunks: the round-trip / accounting path. */
+  def autoChunks(spark: SparkSession, dir: String): DataFrame = synchronized {
+    chunkCache.getOrElseUpdate((dir, "auto"), {
+      Graft.install(spark)
+      val (input, _) = Tokenize.documents(spark, dir)
+      EncodeJob.encode(input, EncodeOptions()).toDF().cache()
+    })
+  }
+
+  private def pat(spark: SparkSession, dir: String, words: String*): Seq[Int] = {
+    val v = vocab(spark, dir)
+    words.map(v)
+  }
+
+  import graft.core.PatternMode._
+
+  // ---------------------------------------------------------------------
+  // Engine queries (compression + compressed-domain predicates)
+  // ---------------------------------------------------------------------
+
+  /** Full encode→decode round-trip; only rows whose decoded tokens are
+    * bit-identical to a re-tokenization of the source text survive the join,
+    * so the oracle (all rows) catches any corruption.
+    */
+  def roundtripDecode(spark: SparkSession, dir: String): DataFrame = {
+    val (input, _) = Tokenize.documents(spark, dir)
+    import spark.implicits._
+    val decoded = EncodeJob.decode(autoChunks(spark, dir).as[graft.format.EncodedChunk])
+    decoded.toDF().alias("d")
+      .join(input.toDF().alias("i"), Seq("doc_id"))
+      .filter(col("d.tokens") === col("i.tokens"))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("d.n_tok").cast("bigint").as("n_tok"))
+  }
+
+  def containsTokens(spark: SparkSession, dir: String): DataFrame =
+    Graft.scanPattern(fsstChunks(spark, dir), Contains,
+      Seq(pat(spark, dir, "value", "table")))
+      .select(col("doc_id").cast("bigint").as("doc_id"))
+
+  def prefixTokens(spark: SparkSession, dir: String): DataFrame =
+    Graft.scanPattern(fsstChunks(spark, dir), Prefix, Seq(pat(spark, dir, "key", "agg")))
+      .select(col("doc_id").cast("bigint").as("doc_id"))
+
+  def suffixTokens(spark: SparkSession, dir: String): DataFrame =
+    Graft.scanPattern(fsstChunks(spark, dir), Suffix, Seq(pat(spark, dir, "value")))
+      .select(col("doc_id").cast("bigint").as("doc_id"))
+
+  def multiInfixTokens(spark: SparkSession, dir: String): DataFrame =
+    Graft.scanPattern(fsstChunks(spark, dir), MultiInfix,
+      Seq(pat(spark, dir, "table"), pat(spark, dir, "scan")))
+      .select(col("doc_id").cast("bigint").as("doc_id"))
+
+  /** NOT LIKE analog (q13/q16) through the per-document encoded view — this
+    * path exercises the optimizer rewrite (decode_row → compressed_match)
+    * rather than the chunk-granularity scan.
+    */
+  def notContainsTokens(spark: SparkSession, dir: String): DataFrame =
+    Graft.encodedRows(fsstChunks(spark, dir))
+      .filter(!Graft.containsTokens(col("tokens"), pat(spark, dir, "value", "table")))
+      .select(col("doc_id").cast("bigint").as("doc_id"))
+
+  /** Aggregation over the DECODED table (exercises decode correctness at
+    * aggregate granularity).
+    */
+  def tokenCountBySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    EncodeJob.decode(autoChunks(spark, dir).as[graft.format.EncodedChunk]).toDF()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+  }
+
+  /** Rows-only (no SQL oracle): per-codec chunk accounting — the analog of
+    * the reference's compressed-size report (/root/reference/sketch.cc:746-755).
+    */
+  def codecStats(spark: SparkSession, dir: String): DataFrame =
+    autoChunks(spark, dir)
+      .groupBy(col("codec"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("row_count")).as("rows"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(length(col("data")) + length(col("symtab")) + length(col("offsets"))).as("bytes"))
+
+  // ---------------------------------------------------------------------
+  // oracles
+  // ---------------------------------------------------------------------
+
+  private val ntokSql = """len(regexp_split_to_array(trim(text), '\s+'))"""
+  private val padded = """(' ' || trim(text) || ' ')"""
+
+  val oracles: Map[String, String] = Map(
+    "q_roundtrip_decode" ->
+      s"SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tok FROM documents",
+    "q_contains_tokens" ->
+      s"SELECT doc_id FROM documents WHERE $padded LIKE '% value table %'",
+    "q_prefix_tokens" ->
+      "SELECT doc_id FROM documents WHERE (trim(text) || ' ') LIKE 'key agg %'",
+    "q_suffix_tokens" ->
+      "SELECT doc_id FROM documents WHERE (' ' || trim(text)) LIKE '% value'",
+    "q_multi_infix_tokens" ->
+      s"""SELECT doc_id FROM documents
+         | WHERE position(' table ' IN $padded) > 0
+         |   AND position(' scan ' IN substr($padded, position(' table ' IN $padded) + 6)) > 0""".stripMargin,
+    "q_not_contains_tokens" ->
+      s"SELECT doc_id FROM documents WHERE $padded NOT LIKE '% value table %'",
+    "q_token_count_by_source" ->
+      s"""SELECT source, count(*) AS n_docs,
+         | CAST(sum($ntokSql) AS BIGINT) AS sum_tokens
+         | FROM documents GROUP BY source""".stripMargin
+  )
+
+  val engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_roundtrip_decode" -> (roundtripDecode _),
+    "q_contains_tokens" -> (containsTokens _),
+    "q_prefix_tokens" -> (prefixTokens _),
+    "q_suffix_tokens" -> (suffixTokens _),
+    "q_multi_infix_tokens" -> (multiInfixTokens _),
+    "q_not_contains_tokens" -> (notContainsTokens _),
+    "q_token_count_by_source" -> (tokenCountBySource _),
+    "q_codec_stats" -> (codecStats _)
+  )
+}

@@ -1,0 +1,102 @@
+package graft.encode
+
+import graft.format._
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-management boundary. The north_rule targets Iceberg-managed tables;
+  * no Iceberg jar ships in this sandbox (SURVEY.md §7.1.3 — recorded
+  * deviation), so `ParquetTableIO` implements the same commit semantics over
+  * plain Parquet: chunk files appended per wave via Spark's job-level commit
+  * protocol (all-or-nothing), then manifest rows appended only after the
+  * chunk write succeeds. Swapping in Iceberg means reimplementing this trait
+  * with `.writeTo(table).append()` — nothing above it changes.
+  */
+trait TableIO {
+  def appendChunks(chunks: Dataset[EncodedChunk]): Unit
+  def appendManifest(rows: DataFrame): Unit
+  def readChunks(spark: SparkSession): Dataset[EncodedChunk]
+  def readManifest(spark: SparkSession): Option[DataFrame]
+}
+
+final class ParquetTableIO(root: String) extends TableIO {
+  private val chunksDir = s"$root/chunks"
+  private val manifestDir = s"$root/manifest"
+
+  def appendChunks(chunks: Dataset[EncodedChunk]): Unit =
+    chunks.write.mode(SaveMode.Append).parquet(chunksDir)
+
+  def appendManifest(rows: DataFrame): Unit =
+    rows.write.mode(SaveMode.Append).parquet(manifestDir)
+
+  def readChunks(spark: SparkSession): Dataset[EncodedChunk] = {
+    import spark.implicits._
+    spark.read.parquet(chunksDir).as[EncodedChunk]
+  }
+
+  def readManifest(spark: SparkSession): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(manifestDir)) else None
+  }
+}
+
+/** Resumable encode: buckets are committed to the manifest in `waves`
+  * (bucket % waves); a rerun of the same (input, options, run_id) skips every
+  * bucket the manifest already records and produces byte-identical chunks for
+  * the rest (bucket assignment and in-partition order are deterministic —
+  * see EncodeJob.plan).
+  */
+object ResumableEncode {
+
+  def run(spark: SparkSession, input: Dataset[TokenRow], io: TableIO, runId: String,
+          opts: EncodeOptions = EncodeOptions()): Seq[ManifestRow] = {
+    import spark.implicits._
+
+    val doneBuckets: Set[Int] = io.readManifest(spark) match {
+      case Some(m) =>
+        m.filter(col("run_id") === runId && col("status") === "committed")
+          .select("part_id").distinct().collect().map(_.getInt(0)).toSet
+      case None => Set.empty
+    }
+
+    val committed = scala.collection.mutable.ArrayBuffer.empty[ManifestRow]
+    var wave = 0
+    while (wave < opts.waves) {
+      val waveBuckets = (0 until opts.numBuckets).filter(_ % opts.waves == wave)
+      val todo = waveBuckets.filterNot(doneBuckets)
+      if (todo.nonEmpty) {
+        val todoSet = todo.toSet
+        val bucketed = EncodeJob.withBucket(input.toDF(), opts)
+          .filter(col("__bucket").isin(todoSet.toSeq.map(Integer.valueOf): _*))
+          .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+          .as[TokenRow]
+        val t0 = System.nanoTime()
+        val chunks = EncodeJob.encode(bucketed, opts)
+        io.appendChunks(chunks)
+        val ms = (System.nanoTime() - t0) / 1000000L
+        // lineage + metrics per bucket, from the committed chunk table
+        val written = io.readChunks(spark).toDF()
+          .filter(col("part_id").isin(todoSet.toSeq.map(Integer.valueOf): _*))
+          .groupBy(col("part_id"))
+          .agg(count(lit(1)).as("n_chunks"), sum(col("row_count")).as("rows"),
+            sum(col("n_tokens")).as("tokens"),
+            sum(length(col("data")) + length(col("symtab")) + length(col("offsets"))).as("bytes"))
+          .collect()
+        val now = System.currentTimeMillis()
+        val rows = todo.map { b =>
+          written.find(_.getInt(0) == b) match {
+            case Some(r) => ManifestRow(runId, wave, b, "committed",
+              r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), now)
+            case None => ManifestRow(runId, wave, b, "committed", 0L, 0L, 0L, 0L, now)
+          }
+        }
+        io.appendManifest(spark.createDataFrame(rows))
+        committed ++= rows
+        val _ = ms
+      }
+      wave += 1
+    }
+    committed.toSeq
+  }
+}

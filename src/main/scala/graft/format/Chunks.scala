@@ -1,0 +1,140 @@
+package graft.format
+
+import graft.core._
+
+/** Per-chunk statistics persisted with the chunk (FIXTURES.md §3) — the
+  * generalization of the reference's per-block `used_chars` bitmap
+  * (/root/reference/src/BenchmarkDriver.hpp:28-37) into selector inputs +
+  * a chunk-skipping bloom filter.
+  */
+final case class ChunkStatsRow(
+    distinct_est: Long,
+    min_tok: Int,
+    max_tok: Int,
+    max_run: Int,
+    escape_cnt: Long,
+    symbol_bitmap: Array[Byte])
+
+/** One encoded chunk = one Dataset row. The Spark analog of the reference's
+  * FsstBlock (/root/reference/src/BenchmarkDriver.hpp:14-38): the symbol
+  * table / codec header travels WITH the chunk (block-local, never global),
+  * and `offsets` delimit per-row slices of `data` for selective decode
+  * (/root/reference/sketch.cc:770-785).
+  */
+final case class EncodedChunk(
+    chunk_id: Long,
+    part_id: Int,
+    codec: String,
+    symtab: Array[Byte],          // codec header: symbol table / dict / FoR params
+    data: Array[Byte],            // concatenated encoded rows
+    offsets: Array[Byte],         // delta-varint row end positions
+    row_count: Int,
+    n_tokens: Long,
+    first_doc_id: String,
+    doc_ids: Array[String],
+    sources: Array[String],
+    stats: ChunkStatsRow,
+    crc: Long)
+
+final case class TokenRow(doc_id: String, tokens: Array[Int], n_tok: Int, source: String)
+
+/** Manifest row: per-bucket lineage + metrics; the checkpoint/resume unit
+  * (north_rule). One row per committed bucket per run.
+  */
+final case class ManifestRow(
+    run_id: String,
+    wave: Int,
+    part_id: Int,
+    status: String,
+    n_chunks: Long,
+    rows: Long,
+    tokens: Long,
+    bytes: Long,
+    committed_at: Long)
+
+object Offsets {
+  /** Row end positions (offsets(0)=first row end, ... length=rowCount),
+    * delta-varint packed. Row i occupies [prev_end, end_i).
+    */
+  def pack(ends: Array[Int]): Array[Byte] = {
+    val w = new ByteWriter(ends.length + 8)
+    var prev = 0
+    var i = 0
+    while (i < ends.length) { w.writeVarUInt(ends(i) - prev); prev = ends(i); i += 1 }
+    w.toBytes
+  }
+  /** Returns rowCount+1 boundaries, starting at 0. */
+  def unpack(bytes: Array[Byte], rowCount: Int): Array[Int] = {
+    val out = new Array[Int](rowCount + 1)
+    val r = new ByteReader(bytes, 0, bytes.length)
+    var i = 0
+    while (i < rowCount) { out(i + 1) = out(i) + r.readVarUInt(); i += 1 }
+    out
+  }
+}
+
+object ChunkOps {
+  def crc32(data: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(data)
+    c.getValue
+  }
+
+  /** Build one EncodedChunk from buffered rows (codec chosen by stats unless forced). */
+  def build(chunkId: Long, partId: Int, docIds: Array[String], sources: Array[String],
+            rows: IndexedSeq[Array[Int]], forceCodec: Option[String]): EncodedChunk = {
+    val stats = ChunkStats.compute(rows)
+    val (codec, header) = forceCodec match {
+      case Some(name) =>
+        val c = Codecs.byName(name)
+        (c, c.buildHeader(rows, stats))
+      case None =>
+        val ch = CodecSelector.choose(rows, stats)
+        (ch.codec, ch.header)
+    }
+    val enc = codec.encoder(header)
+    val out = new ByteWriter(1 << 16)
+    val ends = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) { enc.encode(rows(i), out); ends(i) = out.size; i += 1 }
+    val data = out.toBytes
+    EncodedChunk(
+      chunk_id = chunkId,
+      part_id = partId,
+      codec = codec.name,
+      symtab = header,
+      data = data,
+      offsets = Offsets.pack(ends),
+      row_count = rows.length,
+      n_tokens = stats.totalTokens,
+      first_doc_id = if (docIds.nonEmpty) docIds(0) else "",
+      doc_ids = docIds,
+      sources = sources,
+      stats = ChunkStatsRow(stats.distinctEst, stats.minTok, stats.maxTok,
+        stats.maxRun, enc.escapeCount, stats.bloom),
+      crc = crc32(data))
+  }
+
+  /** Bit-identical round-trip decode of a whole chunk (D1). */
+  def decodeAll(c: EncodedChunk): Iterator[TokenRow] = {
+    val codec = Codecs.byName(c.codec)
+    val dec = codec.decoder(c.symtab)
+    val offs = Offsets.unpack(c.offsets, c.row_count)
+    require(ChunkOps.crc32(c.data) == c.crc, s"chunk ${c.chunk_id}: crc mismatch")
+    (0 until c.row_count).iterator.map { i =>
+      val toks = dec.decode(c.data, offs(i), offs(i + 1))
+      TokenRow(c.doc_ids(i), toks, toks.length, c.sources(i))
+    }
+  }
+
+  /** Selective decode: only the given row indices (late materialization, D2). */
+  def decodeRows(c: EncodedChunk, rowIdx: Array[Int]): Iterator[TokenRow] = {
+    val codec = Codecs.byName(c.codec)
+    val dec = codec.decoder(c.symtab)
+    val offs = Offsets.unpack(c.offsets, c.row_count)
+    rowIdx.iterator.map { i =>
+      val toks = dec.decode(c.data, offs(i), offs(i + 1))
+      TokenRow(c.doc_ids(i), toks, toks.length, c.sources(i))
+    }
+  }
+}

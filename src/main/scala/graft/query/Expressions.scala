@@ -1,0 +1,204 @@
+package graft.query
+
+import graft.core._
+import graft.format.Offsets
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Small per-thread caches so per-row expression eval amortizes header
+  * parsing and DFA construction across the rows of a chunk (the reference
+  * amortizes per 64Ki-row block: /root/reference/src/algos/Comet.hpp:26-38).
+  */
+private[query] object EvalCaches {
+  private val symtabs = new ThreadLocal[java.util.LinkedHashMap[Int, (Array[Byte], SymTab)]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[Int, (Array[Byte], SymTab)](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[Int, (Array[Byte], SymTab)]) = size > 32
+      }
+  }
+  def symtab(header: Array[Byte]): SymTab = {
+    val key = java.util.Arrays.hashCode(header)
+    val c = symtabs.get()
+    val hit = c.get(key)
+    if (hit != null && java.util.Arrays.equals(hit._1, header)) hit._2
+    else { val st = SymTab.fromBytes(header); c.put(key, (header, st)); st }
+  }
+  private val decoders = new ThreadLocal[java.util.LinkedHashMap[(String, Int), (Array[Byte], RowDecoder)]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[(String, Int), (Array[Byte], RowDecoder)](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[(String, Int), (Array[Byte], RowDecoder)]) = size > 32
+      }
+  }
+  def decoder(codec: String, header: Array[Byte]): RowDecoder = {
+    val key = (codec, java.util.Arrays.hashCode(header))
+    val c = decoders.get()
+    val hit = c.get(key)
+    if (hit != null && java.util.Arrays.equals(hit._1, header)) hit._2
+    else {
+      val d = Codecs.byName(codec).decoder(header)
+      c.put(key, (header, d))
+      d
+    }
+  }
+}
+
+/** decode_row(enc, header, codec) → array<int>: decodes one encoded row.
+  * This is the decode boundary the optimizer rule pushes predicates through
+  * (SURVEY.md §4 O2).
+  */
+case class DecodeRow(enc: Expression, header: Expression, codecName: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = enc
+  override def second: Expression = header
+  override def third: Expression = codecName
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = enc.nullable || header.nullable || codecName.nullable
+  override def prettyName: String = "decode_row"
+  override protected def nullSafeEval(e: Any, h: Any, c: Any): Any = {
+    val bytes = e.asInstanceOf[Array[Byte]]
+    val dec = EvalCaches.decoder(c.asInstanceOf[UTF8String].toString, h.asInstanceOf[Array[Byte]])
+    new GenericArrayData(dec.decode(bytes, 0, bytes.length))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(enc = f, header = s, codecName = t)
+}
+
+/** Token-domain pattern predicate on a decoded/raw array<int> column. The
+  * logical marker the pushdown rule looks for; also the fallback physical
+  * path (decode-then-match, the reference's StdEngine baseline,
+  * /root/reference/src/algos/StdFind.hpp:25-46).
+  */
+case class TokenPatternMatch(child: Expression, mode: String, parts: Seq[Seq[Int]])
+    extends UnaryExpression with CodegenFallback {
+  private val partsArr: Array[Array[Int]] =
+    PatternMode.normalize(mode, parts.map(_.toArray).toArray)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = s"tokens_match_$mode"
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData].toIntArray()
+    TokenMatch.eval(mode, partsArr, arr)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Pattern predicate evaluated directly on compressed row bytes — the
+  * engine's raison d'être (the reference's compressed-domain LIKE,
+  * /root/reference/src/algos/Comet.hpp:63-96). FSST chunks run the
+  * lookup-KMP machinery without decoding; other codecs decode-then-match
+  * (they're positional codes, not substitution codes).
+  */
+case class CompressedPatternMatch(enc: Expression, header: Expression, codecName: Expression,
+                                  mode: String, parts: Seq[Seq[Int]])
+    extends TernaryExpression with CodegenFallback {
+  private val partsArr: Array[Array[Int]] =
+    PatternMode.normalize(mode, parts.map(_.toArray).toArray)
+  private val patternId = System.identityHashCode(this)
+  override def first: Expression = enc
+  override def second: Expression = header
+  override def third: Expression = codecName
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = s"compressed_match_$mode"
+  override protected def nullSafeEval(e: Any, h: Any, c: Any): Any = {
+    val bytes = e.asInstanceOf[Array[Byte]]
+    val headerBytes = h.asInstanceOf[Array[Byte]]
+    val codec = c.asInstanceOf[UTF8String].toString
+    if (codec == FsstTokenCodec.name) {
+      val st = EvalCaches.symtab(headerBytes)
+      val pm = PatternMachine.forTable(st, patternId, partsArr)
+      FsstMatch.eval(mode, pm, bytes, 0, bytes.length)
+    } else {
+      val dec = EvalCaches.decoder(codec, headerBytes)
+      TokenMatch.eval(mode, partsArr, dec.decode(bytes, 0, bytes.length))
+    }
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(enc = f, header = s, codecName = t)
+}
+
+/** Chunk-granularity matcher: evaluates the pattern over ALL rows of a chunk
+  * in one call and returns the matching doc_ids. DFA build is amortized over
+  * the whole chunk and the row loop never materializes decoded rows (FSST) —
+  * the direct analog of Engine::Scan filling a row-id vector
+  * (/root/reference/src/BenchmarkDriver.hpp:58-59). Bloom-gate first: if any
+  * needed token is absent from the chunk's token bloom, the whole chunk is
+  * skipped (chunk-level analog of required-symbol skipping, SURVEY.md §4 O4).
+  */
+case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[Seq[Int]])
+    extends Expression with CodegenFallback {
+  // children: doc_ids, data, offsets, row_count, symtab, codec, bloom
+  private val partsArr: Array[Array[Int]] =
+    PatternMode.normalize(mode, parts.map(_.toArray).toArray)
+  private val neededTokens: Array[Int] = partsArr.flatten.distinct
+  private val patternId = System.identityHashCode(this)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = s"chunk_match_$mode"
+  override def eval(input: InternalRow): Any = {
+    val docIds = children(0).eval(input).asInstanceOf[ArrayData]
+    val bloom = children(6).eval(input).asInstanceOf[Array[Byte]]
+    // chunk skip: every pattern token must be (possibly) present
+    var t = 0
+    while (t < neededTokens.length) {
+      if (!ChunkStats.bloomHas(bloom, neededTokens(t))) return new GenericArrayData(Array.empty[Any])
+      t += 1
+    }
+    val data = children(1).eval(input).asInstanceOf[Array[Byte]]
+    val offBytes = children(2).eval(input).asInstanceOf[Array[Byte]]
+    val rowCount = children(3).eval(input).asInstanceOf[Int]
+    val header = children(4).eval(input).asInstanceOf[Array[Byte]]
+    val codec = children(5).eval(input).asInstanceOf[UTF8String].toString
+    val offs = Offsets.unpack(offBytes, rowCount)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (codec == FsstTokenCodec.name) {
+      val st = EvalCaches.symtab(header)
+      val pm = PatternMachine.forTable(st, patternId, partsArr)
+      var i = 0
+      while (i < rowCount) {
+        if (FsstMatch.eval(mode, pm, data, offs(i), offs(i + 1))) out += docIds.getUTF8String(i)
+        i += 1
+      }
+    } else {
+      val dec = EvalCaches.decoder(codec, header)
+      var i = 0
+      while (i < rowCount) {
+        if (TokenMatch.eval(mode, partsArr, dec.decode(data, offs(i), offs(i + 1))))
+          out += docIds.getUTF8String(i)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(children = cs)
+}
+
+/** row_slices(data, offsets, row_count) → array<binary>: per-row encoded
+  * byte slices, the cheap (no-decode) explode used by the per-document
+  * encoded view.
+  */
+case class RowSlices(data: Expression, offsets: Expression, rowCount: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = data
+  override def second: Expression = offsets
+  override def third: Expression = rowCount
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "row_slices"
+  override protected def nullSafeEval(d: Any, o: Any, n: Any): Any = {
+    val bytes = d.asInstanceOf[Array[Byte]]
+    val rowCount = n.asInstanceOf[Int]
+    val offs = Offsets.unpack(o.asInstanceOf[Array[Byte]], rowCount)
+    val out = new Array[Any](rowCount)
+    var i = 0
+    while (i < rowCount) {
+      out(i) = java.util.Arrays.copyOfRange(bytes, offs(i), offs(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(data = f, offsets = s, rowCount = t)
+}

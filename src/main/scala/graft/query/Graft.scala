@@ -1,0 +1,100 @@
+package graft.query
+
+import graft.format.EncodedChunk
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
+
+/** Predicate pushdown across the compression boundary: rewrite
+  * `tokens_match(decode_row(enc,…), pat)` into `compressed_match(enc,…, pat)`
+  * so the match runs on compressed bytes and non-matching rows are never
+  * decoded — the Spark form of the reference's entire research question
+  * (LIKE on FSST codes without decompression; SURVEY.md §4 O2). The plan
+  * shape (scan→filter) stays standard, so an expression-level rule suffices
+  * and no SparkStrategy is needed.
+  */
+object PushPatternIntoCompressed extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case TokenPatternMatch(DecodeRow(enc, header, codec), mode, parts) =>
+      CompressedPatternMatch(enc, header, codec, mode, parts)
+  }
+}
+
+/** Registration for spark-submit users: `.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => PushPatternIntoCompressed)
+  }
+}
+
+/** User-facing column API + the encoded-table views. */
+object Graft {
+
+  /** Idempotent install on an existing session (the driver owns session
+    * construction in Verify/Bench, so injection goes through
+    * experimental.extraOptimizations rather than withExtensions).
+    */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(PushPatternIntoCompressed)) {
+      spark.experimental.extraOptimizations = cur :+ PushPatternIntoCompressed
+    }
+  }
+
+  private def col2expr(c: Column): Expression = GraftBridge.expression(c)
+  private def mkCol(e: Expression): Column = GraftBridge.column(e)
+
+  // --- column functions ----------------------------------------------------
+
+  def decodeRow(enc: Column, header: Column, codec: Column): Column =
+    mkCol(DecodeRow(col2expr(enc), col2expr(header), col2expr(codec)))
+
+  def containsTokens(tokens: Column, pattern: Seq[Int]): Column =
+    mkCol(TokenPatternMatch(col2expr(tokens), graft.core.PatternMode.Contains, Seq(pattern)))
+  def startsWithTokens(tokens: Column, pattern: Seq[Int]): Column =
+    mkCol(TokenPatternMatch(col2expr(tokens), graft.core.PatternMode.Prefix, Seq(pattern)))
+  def endsWithTokens(tokens: Column, pattern: Seq[Int]): Column =
+    mkCol(TokenPatternMatch(col2expr(tokens), graft.core.PatternMode.Suffix, Seq(pattern)))
+  def equalsTokens(tokens: Column, pattern: Seq[Int]): Column =
+    mkCol(TokenPatternMatch(col2expr(tokens), graft.core.PatternMode.Equals, Seq(pattern)))
+  def multiInfixTokens(tokens: Column, parts: Seq[Seq[Int]]): Column =
+    mkCol(TokenPatternMatch(col2expr(tokens), graft.core.PatternMode.MultiInfix, parts))
+
+  // --- views over the chunk table -------------------------------------------
+
+  /** Per-document view of an encoded chunk table WITHOUT decoding: columns
+    * (doc_id, source, enc, symtab, codec) + a logical `tokens` column defined
+    * as decode_row(enc). Filters written against `tokens` with the functions
+    * above are pushed into the compressed domain by the injected rule;
+    * `tokens` itself only decodes if (and where) it is actually projected.
+    */
+  def encodedRows(chunks: DataFrame): DataFrame = {
+    chunks
+      .select(col("codec"), col("symtab"),
+        explode(arrays_zip(
+          col("doc_ids").as("doc_id"),
+          col("sources").as("source"),
+          mkCol(RowSlices(col2expr(col("data")), col2expr(col("offsets")), col2expr(col("row_count")))).as("enc")
+        )).as("z"))
+      .select(col("z.doc_id").as("doc_id"), col("z.source").as("source"),
+        col("z.enc").as("enc"), col("symtab"), col("codec"))
+      .withColumn("tokens", decodeRow(col("enc"), col("symtab"), col("codec")))
+  }
+
+  /** The fast scan path: chunk-granularity pattern match returning matching
+    * doc_ids, with bloom-based whole-chunk skipping. One expression eval per
+    * chunk ≈ one Engine::Scan per block in the reference.
+    */
+  def scanPattern(chunks: DataFrame, mode: String, parts: Seq[Seq[Int]]): DataFrame = {
+    val matchExpr = ChunkMatchDocIds(
+      Seq(col2expr(col("doc_ids")), col2expr(col("data")), col2expr(col("offsets")),
+        col2expr(col("row_count")), col2expr(col("symtab")), col2expr(col("codec")),
+        col2expr(col("stats.symbol_bitmap"))),
+      mode, parts)
+    chunks
+      .select(explode(mkCol(matchExpr)).as("doc_id"))
+  }
+}

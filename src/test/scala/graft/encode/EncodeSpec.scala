@@ -1,0 +1,119 @@
+package graft.encode
+
+import graft.format._
+import graft.spark.Tokenize
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-level round-trip + resume tests (SURVEY.md §5: the structural copy
+  * of the reference's full-decompression assert, /root/reference/sketch.cc:1280-1299,
+  * plus the north_rule resume requirement).
+  */
+class EncodeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("encode→decode round-trips the documents token table bit-identically") {
+    import spark.implicits._
+    val (input, _) = Tokenize.documents(spark, sf)
+    val opts = EncodeOptions(numBuckets = 8, maxRowsPerChunk = 16, maxTokensPerChunk = 4096)
+    val chunks = EncodeJob.encode(input, opts).cache()
+    assert(chunks.count() > 1, "expected multiple chunks")
+    val decoded = EncodeJob.decode(chunks)
+    // per-row token-array equality via join on doc_id (both directions)
+    val mismatched = decoded.toDF().alias("d")
+      .join(input.toDF().alias("i"), Seq("doc_id"), "full_outer")
+      .filter(not(col("d.tokens") <=> col("i.tokens")) ||
+        not(col("d.source") <=> col("i.source")) || not(col("d.n_tok") <=> col("i.n_tok")))
+      .count()
+    assert(mismatched == 0, s"$mismatched rows differ after round-trip")
+    assert(decoded.count() == input.count())
+  }
+
+  test("encode is deterministic: same input and options → identical chunk table") {
+    val (input, _) = Tokenize.documents(spark, sf)
+    val opts = EncodeOptions(numBuckets = 4, maxRowsPerChunk = 32, maxTokensPerChunk = 8192)
+    def fingerprint(): Seq[(Long, Long, String)] =
+      EncodeJob.encode(input, opts).collect()
+        .map(c => (c.chunk_id, c.crc, c.codec)).sortBy(_._1).toSeq
+    assert(fingerprint() == fingerprint())
+  }
+
+  test("resume: interrupted encode resumes exactly from the manifest") {
+    import spark.implicits._
+    val (input, _) = Tokenize.documents(spark, sf)
+    val opts = EncodeOptions(numBuckets = 6, maxRowsPerChunk = 32,
+      maxTokensPerChunk = 8192, waves = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
+
+    // full reference run into dirA
+    val ioA = new ParquetTableIO(s"$dir/a")
+    ResumableEncode.run(spark, input, ioA, "run1", opts)
+
+    // interrupted run: a TableIO wrapper that dies at the wave-1 chunk write,
+    // leaving wave 0 committed (manifest) and nothing else
+    val dirC = s"$dir/c"
+    val ioC = new ParquetTableIO(dirC)
+    // first attempt: only wave 0 runs (waves=3 but we interrupt by limiting)
+    val partial = new TableIO {
+      var wavesDone = 0
+      def appendChunks(c: org.apache.spark.sql.Dataset[EncodedChunk]): Unit = {
+        if (wavesDone >= 1) throw new RuntimeException("simulated kill after wave 0")
+        ioC.appendChunks(c)
+      }
+      def appendManifest(r: org.apache.spark.sql.DataFrame): Unit = {
+        ioC.appendManifest(r); wavesDone += 1
+      }
+      def readChunks(s: SparkSession) = ioC.readChunks(s)
+      def readManifest(s: SparkSession) = ioC.readManifest(s)
+    }
+    intercept[RuntimeException] {
+      ResumableEncode.run(spark, input, partial, "run1", opts)
+    }
+    val committedAfterKill = ioC.readManifest(spark).get.count()
+    assert(committedAfterKill > 0 && committedAfterKill < 6,
+      s"expected partial manifest, got $committedAfterKill/6")
+
+    // resume: completes remaining buckets only
+    ResumableEncode.run(spark, input, ioC, "run1", opts)
+    assert(ioC.readManifest(spark).get.select("part_id").distinct().count() == 6)
+
+    // final chunk table identical to the uninterrupted run
+    def fp(io: ParquetTableIO): Seq[(Long, Long, String, Int)] =
+      io.readChunks(spark).collect().map(c => (c.chunk_id, c.crc, c.codec, c.row_count))
+        .sortBy(_._1).toSeq
+    assert(fp(ioC) == fp(ioA), "resumed table differs from uninterrupted run")
+
+    // and the decoded content still matches the input exactly
+    val decoded = EncodeJob.decode(ioC.readChunks(spark))
+    val bad = decoded.toDF().alias("d").join(input.toDF().alias("i"), Seq("doc_id"), "full_outer")
+      .filter(not(col("d.tokens") <=> col("i.tokens"))).count()
+    assert(bad == 0)
+  }
+
+  test("derived token tables cover dict/rle/for codecs end-to-end") {
+    val qty = Tokenize.lineitemQuantities(spark, sf)
+    val chunksQ = EncodeJob.encode(qty, EncodeOptions(numBuckets = 2)).cache()
+    val codecsQ = chunksQ.collect().map(_.codec).toSet
+    assert(codecsQ.nonEmpty)
+    val decodedQ = EncodeJob.decode(chunksQ)
+    val badQ = decodedQ.toDF().alias("d").join(qty.toDF().alias("i"), Seq("doc_id"), "full_outer")
+      .filter(not(col("d.tokens") <=> col("i.tokens"))).count()
+    assert(badQ == 0)
+
+    val ev = Tokenize.eventTypes(spark, sf)
+    val chunksE = EncodeJob.encode(ev, EncodeOptions(numBuckets = 2)).cache()
+    val badE = EncodeJob.decode(chunksE).toDF().alias("d")
+      .join(ev.toDF().alias("i"), Seq("doc_id"), "full_outer")
+      .filter(not(col("d.tokens") <=> col("i.tokens"))).count()
+    assert(badE == 0)
+  }
+}

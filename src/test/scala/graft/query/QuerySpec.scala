@@ -1,0 +1,94 @@
+package graft.query
+
+import graft.core.PatternMode
+import graft.encode.{EncodeJob, EncodeOptions}
+import graft.spark.Tokenize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-level dual-run oracle (SURVEY.md §5.2): the same predicate through
+  * (a) built-in-style eval on the raw token table, (b) the decoded view with
+  * the pushdown rule (compressed eval), and (c) the chunk-granularity scan —
+  * `except` must be empty in every direction.
+  */
+class QuerySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Graft.install(s)
+    s
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val (input, vocab) = Tokenize.documents(spark, sf)
+  private lazy val chunks = EncodeJob.encode(input,
+    EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some("fsst")))
+    .cache().toDF()
+
+  private def dualRun(mode: String, parts: Seq[Seq[Int]]): Unit = {
+    import spark.implicits._
+    val pred = mkPred(mode, parts, col("tokens"))
+    val want = input.toDF().filter(pred).select("doc_id")
+    val view = Graft.encodedRows(chunks)
+    val gotPushed = view.filter(mkPred(mode, parts, col("tokens"))).select("doc_id")
+    val gotScan = Graft.scanPattern(chunks, mode, parts)
+    assert(want.except(gotPushed).isEmpty && gotPushed.except(want).isEmpty,
+      s"$mode/$parts: pushed-view result differs from raw oracle")
+    assert(want.except(gotScan).isEmpty && gotScan.except(want).isEmpty,
+      s"$mode/$parts: chunk-scan result differs from raw oracle")
+    // negation path
+    val wantNot = input.toDF().filter(!pred).select("doc_id")
+    val gotNot = view.filter(!mkPred(mode, parts, col("tokens"))).select("doc_id")
+    assert(wantNot.except(gotNot).isEmpty && gotNot.except(wantNot).isEmpty)
+  }
+
+  private def mkPred(mode: String, parts: Seq[Seq[Int]], tokens: org.apache.spark.sql.Column) =
+    mode match {
+      case PatternMode.Contains   => Graft.containsTokens(tokens, parts.head)
+      case PatternMode.Prefix     => Graft.startsWithTokens(tokens, parts.head)
+      case PatternMode.Suffix     => Graft.endsWithTokens(tokens, parts.head)
+      case PatternMode.Equals     => Graft.equalsTokens(tokens, parts.head)
+      case PatternMode.MultiInfix => Graft.multiInfixTokens(tokens, parts)
+    }
+
+  test("pushdown rule rewrites decode-then-match into compressed match") {
+    val view = Graft.encodedRows(chunks)
+    val q = view.filter(Graft.containsTokens(col("tokens"), Seq(vocab("value"), vocab("table"))))
+      .select("doc_id")
+    val optimized = q.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("compressed_match_contains"),
+      s"expected compressed_match in optimized plan:\n$optimized")
+    assert(!optimized.contains("decode_row"),
+      s"decode_row should have been eliminated (column pruning + rewrite):\n$optimized")
+  }
+
+  test("dual-run: contains / prefix / suffix / equals / multi-infix vs raw oracle") {
+    val v = vocab
+    dualRun(PatternMode.Contains, Seq(Seq(v("value"), v("table"))))
+    dualRun(PatternMode.Contains, Seq(Seq(v("table"))))
+    dualRun(PatternMode.Contains, Seq(Seq(v("table"), v("table"), v("table"))))
+    dualRun(PatternMode.Prefix, Seq(Seq(v("key"))))
+    dualRun(PatternMode.Suffix, Seq(Seq(v("value"))))
+    dualRun(PatternMode.Equals, Seq(Seq(v("value"))))
+    dualRun(PatternMode.MultiInfix, Seq(Seq(v("table")), Seq(v("scan"))))
+    dualRun(PatternMode.MultiInfix, Seq(Seq(v("a")), Seq(v("a")), Seq(v("a"))))
+    // absent token: bloom-gated chunk skip must still agree (empty result)
+    dualRun(PatternMode.Contains, Seq(Seq(999999)))
+  }
+
+  test("mixed-codec chunk table: compressed match falls back to decode-then-match") {
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64))
+      .cache().toDF()
+    val parts = Seq(Seq(vocab("value"), vocab("table")))
+    val want = input.toDF()
+      .filter(Graft.containsTokens(col("tokens"), parts.head)).select("doc_id")
+    val got = Graft.scanPattern(auto, PatternMode.Contains, parts)
+    assert(want.except(got).isEmpty && got.except(want).isEmpty)
+  }
+}
