@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Batch-throughput GC: G1 showed pathological pause inflation with 32
+  // concurrent encode tasks (task runtimes 10-15x at local[32] vs local[8]);
+  // fixed spaces + fast tenuring stop adaptive-sizing oscillation and
+  // survivor ping-pong of medium-lived chunk buffers.
+  "-XX:+UseParallelGC",
+  "-Xmn8g",
+  "-XX:MaxTenuringThreshold=2",
 )

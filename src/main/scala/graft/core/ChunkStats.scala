@@ -15,6 +15,7 @@ final case class ChunkStats(
     totalTokens: Long,
     minTok: Int,
     maxTok: Int,
+    maxRowRange: Long,                       // max over rows of (rowMax - rowMin)
     maxRun: Int,
     numRuns: Long,
     varintBytes: Long,                       // exact raw-codec payload size (sans prefixes)
@@ -46,45 +47,86 @@ object ChunkStats {
   def compute(rows: IndexedSeq[Array[Int]]): ChunkStats = {
     var minT = Int.MaxValue
     var maxT = Int.MinValue
+    var maxRowRange = 0L
     var maxRun = 0
     var runs = 0L
     var total = 0L
     var vbytes = 0L
     val bloom = new Array[Byte](BloomBytes)
-    val distinct = mutable.HashSet.empty[Int]
-    var overflow = false
+    val distinct = new IntSet(DictCodec.MaxCard)
 
     var ri = 0
     while (ri < rows.length) {
       val toks = rows(ri)
       val n = toks.length
       total += n
+      var rowMin = Int.MaxValue
+      var rowMax = Int.MinValue
       var i = 0
       while (i < n) {
         val v = toks(i)
-        if (v < minT) minT = v
-        if (v > maxT) maxT = v
-        vbytes += Varint.zigzagLen(v)
+        if (v < rowMin) rowMin = v
+        if (v > rowMax) rowMax = v
+        val vl = Varint.zigzagLen(v)
         bloomSet(bloom, v)
-        if (!overflow) {
-          distinct += v
-          if (distinct.size > DictCodec.MaxCard) overflow = true
-        }
+        distinct.add(v)
         var run = 1
         while (i + run < n && toks(i + run) == v) run += 1
         if (run > maxRun) maxRun = run
         runs += 1
-        // stats for the run's remaining tokens (value already bloomed/counted)
-        var j = 1
-        while (j < run) { vbytes += Varint.zigzagLen(v); j += 1 }
+        vbytes += vl.toLong * run
         i += run
+      }
+      if (n > 0) {
+        if (rowMin < minT) minT = rowMin
+        if (rowMax > maxT) maxT = rowMax
+        val range = rowMax.toLong - rowMin.toLong
+        if (range > maxRowRange) maxRowRange = range
       }
       ri += 1
     }
     if (total == 0L) { minT = 0; maxT = 0 }
-    val sorted = if (overflow) None else Some(distinct.toArray.sorted)
-    ChunkStats(rows.length, total, minT, maxT, maxRun, runs, vbytes,
-      sorted, if (overflow) DictCodec.MaxCard + 1L else distinct.size.toLong, bloom)
+    val sorted = if (distinct.overflowed) None else Some(distinct.toSortedArray)
+    ChunkStats(rows.length, total, minT, maxT, maxRowRange, maxRun, runs, vbytes,
+      sorted, if (distinct.overflowed) DictCodec.MaxCard + 1L else distinct.size.toLong, bloom)
+  }
+}
+
+/** Primitive open-addressing int set with a cardinality cap — no boxing in
+  * the per-token stats pass. Once `cap` distinct values are seen it stops
+  * recording (dict becomes ineligible anyway).
+  */
+private[core] final class IntSet(cap: Int) {
+  private val capacity = Integer.highestOneBit(math.max(cap * 4, 16)) // load <= 0.25 at cap
+  private val mask = capacity - 1
+  private val slots = new Array[Int](capacity)
+  private val used = new Array[Boolean](capacity)
+  var size = 0
+  var overflowed = false
+
+  def add(v: Int): Unit = {
+    if (overflowed) return
+    var idx = (v * 0x9e3779b1) >>> (32 - Integer.numberOfTrailingZeros(capacity)) & mask
+    while (used(idx)) {
+      if (slots(idx) == v) return
+      idx = (idx + 1) & mask
+    }
+    if (size >= cap) { overflowed = true; return }
+    used(idx) = true
+    slots(idx) = v
+    size += 1
+  }
+
+  def toSortedArray: Array[Int] = {
+    val out = new Array[Int](size)
+    var i = 0
+    var k = 0
+    while (i < capacity) {
+      if (used(i)) { out(k) = slots(i); k += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    out
   }
 }
 
@@ -98,7 +140,14 @@ object CodecSelector {
 
   final case class Choice(codec: ChunkCodec, header: Array[Byte], estBytes: Long)
 
-  def choose(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Choice = {
+  /** @param reuseFsstHeader a symbol table trained on an earlier chunk of the
+    *   same (bucket, source) group — escapes make reuse safe for FSST (and
+    *   ONLY for FSST: positional codecs would wrap out-of-range values), and
+    *   it amortizes training across a partition's chunks the way the
+    *   reference amortizes per-block setup (SURVEY.md §4 O3).
+    */
+  def choose(rows: IndexedSeq[Array[Int]], stats: ChunkStats,
+             reuseFsstHeader: Option[Array[Byte]] = None): Choice = {
     val n = stats.totalTokens
     if (n == 0) return Choice(RawCodec, RawCodec.buildHeader(rows, stats), 0L)
 
@@ -119,36 +168,43 @@ object CodecSelector {
       candidates += ((hdr + (n * width + 7) / 8 + rowOverhead, DictCodec))
     }
 
-    // FoR / bitpack: width from exact range
-    val range = stats.maxTok.toLong - stats.minTok.toLong
-    if (range >= 0) {
-      val wFor = BitPack.bitsFor(range)
-      candidates += (((n * wFor + 7) / 8 + rowOverhead + 6, ForCodec))
-      if (stats.minTok >= 0) {
-        val wBp = BitPack.bitsFor(stats.maxTok.toLong)
-        candidates += (((n * wBp + 7) / 8 + rowOverhead + 6, BitPackCodec))
-      }
+    // FoR: per-row base → width from the widest single row
+    val wFor = BitPack.bitsFor(stats.maxRowRange)
+    candidates += (((n * wFor + 7) / 8 + rowOverhead + stats.rowCount.toLong * 2 + 2, ForCodec))
+    // bitpack: zero base, width from the chunk max
+    if (stats.minTok >= 0) {
+      val wBp = BitPack.bitsFor(stats.maxTok.toLong)
+      candidates += (((n * wBp + 7) / 8 + rowOverhead + 2, BitPackCodec))
     }
 
-    // fsst: trial-train + trial-encode a bounded sample, extrapolate
-    val fsstHeader = FsstTokenCodec.buildHeader(rows, stats)
-    val trialEnc = FsstTokenCodec.encoder(fsstHeader)
-    val out = new ByteWriter(8192)
-    var trialTokens = 0L
-    var ri = 0
-    while (ri < rows.length && trialTokens < FsstTrialTokens) {
-      trialEnc.encode(rows(ri), out)
-      trialTokens += rows(ri).length
-      ri += 1
-    }
-    if (trialTokens > 0) {
-      val perTok = out.size.toDouble / trialTokens
-      candidates += ((fsstHeader.length + (perTok * n).toLong, FsstTokenCodec))
+    // fsst: trial-train + trial-encode a bounded sample, extrapolate.
+    // Skip the (training-dominated) trial when a positional codec already
+    // reaches < 0.4 B/token — FSST symbols cover at most 8 tokens per code
+    // byte, so it rarely beats that floor.
+    val bestSoFar = candidates.minBy(_._1)
+    var fsstHeader: Array[Byte] = null
+    if (bestSoFar._1.toDouble / n >= 0.4) {
+      fsstHeader = reuseFsstHeader.getOrElse(FsstTokenCodec.buildHeader(rows, stats))
+      val trialEnc = FsstTokenCodec.encoder(fsstHeader)
+      val out = new ByteWriter(8192)
+      var trialTokens = 0L
+      var ri = 0
+      while (ri < rows.length && trialTokens < FsstTrialTokens) {
+        trialEnc.encode(rows(ri), out)
+        trialTokens += rows(ri).length
+        ri += 1
+      }
+      if (trialTokens > 0) {
+        val perTok = out.size.toDouble / trialTokens
+        candidates += ((fsstHeader.length + (perTok * n).toLong, FsstTokenCodec))
+      }
     }
 
     // deterministic preference on ties: the candidate insertion order above
     val (estBytes, codec) = candidates.minBy(_._1)
-    val header = if (codec eq FsstTokenCodec) fsstHeader else codec.buildHeader(rows, stats)
+    val header =
+      if ((codec eq FsstTokenCodec) && fsstHeader != null) fsstHeader
+      else codec.buildHeader(rows, stats)
     Choice(codec, header, estBytes)
   }
 }

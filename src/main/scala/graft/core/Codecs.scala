@@ -170,38 +170,71 @@ object RleCodec extends ChunkCodec {
 // Frame-of-reference (+ plain bit-packing as the base==0 special case)
 // ---------------------------------------------------------------------------
 
-/** Header: zigzag(base), byte(width). Rows: varUInt(n) + n width-bit deltas. */
-class ForLikeCodec(val name: String) extends ChunkCodec {
+/** Frame-of-reference with PER-ROW base: documents with narrow but
+  * differently-located value ranges (e.g. clustered ids) pack at the width of
+  * the widest single row, not the chunk-global range.
+  * Header: byte(width). Row: varUInt(n), zigzag(rowBase), n width-bit deltas.
+  */
+object ForCodec extends ChunkCodec {
+  val name = "for"
   def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] = {
-    val base = if (name == "bitpack") 0 else stats.minTok
-    val width = BitPack.bitsFor(stats.maxTok.toLong - base)
-    val w = new ByteWriter(8)
-    w.writeZigZag(base)
-    w.writeByte(width)
+    val w = new ByteWriter(2)
+    w.writeByte(BitPack.bitsFor(stats.maxRowRange))
     w.toBytes
   }
-  private def params(header: Array[Byte]): (Int, Int) = {
-    val r = new ByteReader(header, 0, header.length)
-    (r.readZigZag(), r.readByte())
-  }
   def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
-    private val (base, width) = params(header)
+    private val width = header(0) & 0xff
     def encode(toks: Array[Int], out: ByteWriter): Unit = {
       out.writeVarUInt(toks.length)
-      BitPack.pack(toks, t => t - base, width, out)
+      if (toks.length == 0) return
+      var base = toks(0)
+      var i = 1
+      while (i < toks.length) { if (toks(i) < base) base = toks(i); i += 1 }
+      out.writeZigZag(base)
+      val b = base
+      BitPack.pack(toks, t => t - b, width, out)
     }
   }
   def decoder(header: Array[Byte]): RowDecoder = new RowDecoder {
-    private val (base, width) = params(header)
+    private val width = header(0) & 0xff
     def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] = {
       val r = new ByteReader(bytes, from, to)
       val n = r.readVarUInt()
+      if (n == 0) return Array.emptyIntArray
+      val base = r.readZigZag()
       BitPack.unpack(bytes, r.pos, n, width, d => d + base)
     }
   }
 }
-object ForCodec extends ForLikeCodec("for")
-object BitPackCodec extends ForLikeCodec("bitpack")
+
+/** Plain bit-packing: chunk-global zero base, width from the chunk max.
+  * Header: byte(width). Row: varUInt(n) + n width-bit values. Eligible only
+  * when all tokens are non-negative.
+  */
+object BitPackCodec extends ChunkCodec {
+  val name = "bitpack"
+  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] = {
+    require(stats.minTok >= 0, "bitpack needs non-negative tokens")
+    val w = new ByteWriter(2)
+    w.writeByte(BitPack.bitsFor(stats.maxTok.toLong))
+    w.toBytes
+  }
+  def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
+    private val width = header(0) & 0xff
+    def encode(toks: Array[Int], out: ByteWriter): Unit = {
+      out.writeVarUInt(toks.length)
+      BitPack.pack(toks, t => t, width, out)
+    }
+  }
+  def decoder(header: Array[Byte]): RowDecoder = new RowDecoder {
+    private val width = header(0) & 0xff
+    def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] = {
+      val r = new ByteReader(bytes, from, to)
+      val n = r.readVarUInt()
+      BitPack.unpack(bytes, r.pos, n, width, d => d)
+    }
+  }
+}
 
 // ---------------------------------------------------------------------------
 // Raw varint fallback

@@ -18,7 +18,9 @@ import scala.collection.mutable
 object FsstTrainer {
 
   val Generations = 5
-  val DefaultSampleTokens: Int = 1 << 16
+  val DefaultSampleTokens: Int = 1 << 14 // 16Ki tokens — training amortizes over ≥256Ki-token chunks
+
+  private final class Counter { var n: Long = 1L }
 
   private final class Key(val a: Array[Int], val from: Int, val len: Int) {
     override val hashCode: Int = {
@@ -69,8 +71,11 @@ object FsstTrainer {
     var table = SymTab.empty
     var gen = 0
     while (gen < Generations) {
-      val counts = mutable.HashMap.empty[Key, Long]
-      def bump(k: Key): Unit = counts.update(k, counts.getOrElse(k, 0L) + 1L)
+      val counts = new java.util.HashMap[Key, Counter]()
+      def bump(k: Key): Unit = {
+        val c = counts.get(k)
+        if (c != null) c.n += 1 else counts.put(k, new Counter)
+      }
 
       var s = 0
       while (s < sample.length) {
@@ -94,8 +99,10 @@ object FsstTrainer {
       }
 
       // gain = occurrences × bytes saved per occurrence
-      val scored = counts.iterator.map { case (k, cnt) =>
-        val gain = cnt * (literalCost(k.a, k.from, k.len) - 1).toLong
+      import scala.jdk.CollectionConverters._
+      val scored = counts.entrySet().iterator().asScala.map { e =>
+        val k = e.getKey
+        val gain = e.getValue.n * (literalCost(k.a, k.from, k.len) - 1).toLong
         (gain, k)
       }.filter(_._1 > 0).toArray
 

@@ -21,21 +21,31 @@ final class SymTab(val syms: Array[Array[Int]]) extends Serializable {
 
   val nSymbols: Int = syms.length
 
-  /** first-token -> codes, longest symbol first (then lowest code) so a
-    * linear scan of candidates yields the canonical longest match.
+  /** Two-level lookup for canonical greedy longest-match: multi-token
+    * symbols are keyed by their first TWO tokens (candidate lists stay tiny
+    * even when one hot token starts many symbols), single-token symbols by
+    * the token itself. Candidate lists are longest-first (then lowest code).
     */
-  @transient private lazy val index: mutable.LongMap[Array[Int]] = {
-    val m = mutable.LongMap.empty[mutable.ArrayBuffer[Int]]
+  @transient private lazy val (pairIndex, singleIndex)
+      : (mutable.LongMap[Array[Int]], mutable.LongMap[Int]) = {
+    val pairs = mutable.LongMap.empty[mutable.ArrayBuffer[Int]]
+    val singles = mutable.LongMap.empty[Int]
     var c = 0
     while (c < syms.length) {
-      m.getOrElseUpdate(syms(c)(0).toLong, mutable.ArrayBuffer.empty[Int]) += c
+      val s = syms(c)
+      if (s.length == 1) {
+        if (!singles.contains(s(0).toLong)) singles(s(0).toLong) = c
+      } else {
+        val key = (s(0).toLong << 32) | (s(1).toLong & 0xffffffffL)
+        pairs.getOrElseUpdate(key, mutable.ArrayBuffer.empty[Int]) += c
+      }
       c += 1
     }
-    val out = mutable.LongMap.empty[Array[Int]]
-    m.foreach { case (k, codes) =>
-      out(k) = codes.sortBy(c => (-syms(c).length, c)).toArray
+    val p = mutable.LongMap.empty[Array[Int]]
+    pairs.foreach { case (k, codes) =>
+      p(k) = codes.sortBy(c => (-syms(c).length, c)).toArray
     }
-    out
+    (p, singles)
   }
 
   def symbol(code: Int): Array[Int] = syms(code)
@@ -43,21 +53,26 @@ final class SymTab(val syms: Array[Array[Int]]) extends Serializable {
 
   /** Longest symbol matching tokens[pos until end); -1 if none. */
   def longestMatch(tokens: Array[Int], pos: Int, end: Int): Int = {
-    val cands = index.getOrNull(tokens(pos).toLong)
-    if (cands == null) return -1
-    var i = 0
-    while (i < cands.length) {
-      val c = cands(i)
-      val s = syms(c)
-      val L = s.length
-      if (pos + L <= end) {
-        var j = 1
-        while (j < L && tokens(pos + j) == s(j)) j += 1
-        if (j == L) return c
+    val t0 = tokens(pos)
+    if (pos + 1 < end) {
+      val key = (t0.toLong << 32) | (tokens(pos + 1).toLong & 0xffffffffL)
+      val cands = pairIndex.getOrNull(key)
+      if (cands != null) {
+        var i = 0
+        while (i < cands.length) {
+          val c = cands(i)
+          val s = syms(c)
+          val L = s.length
+          if (pos + L <= end) {
+            var j = 2
+            while (j < L && tokens(pos + j) == s(j)) j += 1
+            if (j == L) return c
+          }
+          i += 1
+        }
       }
-      i += 1
     }
-    -1
+    singleIndex.getOrElse(t0.toLong, -1)
   }
 
   /** Serialized form: [version][nSymbols][per symbol: len, len zigzag tokens].

