@@ -1,0 +1,174 @@
+package graft
+
+import graft.pipeline._
+import graft.spark.Tokenize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries (dedup / similarity / text analysis /
+  * multimodal) with DuckDB oracles where the semantics are SQL-expressible;
+  * LSH-style probabilistic ops are rows-only here and are held to their
+  * exact counterparts in PipelineSpec instead.
+  */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Token table with numeric doc ids so pair ordering (doc_a < doc_b)
+    * matches the integer ordering DuckDB uses.
+    */
+  private def tokenDocs(spark: SparkSession, dir: String): DataFrame =
+    Tokenize.documents(spark, dir)._1.toDF()
+      .withColumn("doc_id", col("doc_id").cast("bigint"))
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // --- dedup -----------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(tokenDocs(spark, dir))
+      .select(col("rep_doc_id").cast("bigint").as("rep_doc_id"), col("n_dups"))
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(tokenDocs(spark, dir), n = 3, minInter = 3)
+      .select(col("doc_a").cast("bigint").as("doc_a"),
+        col("doc_b").cast("bigint").as("doc_b"),
+        col("inter_cnt").cast("bigint").as("inter_cnt"),
+        col("union_cnt").cast("bigint").as("union_cnt"))
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(tokenDocs(spark, dir), tau = 0.7)
+      .select(col("doc_a").cast("bigint"), col("doc_b").cast("bigint"),
+        col("inter_cnt"), col("union_cnt"))
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(tokenDocs(spark, dir), maxHamming = 3)
+      .select(col("doc_a").cast("bigint"), col("doc_b").cast("bigint"), col("hamming"))
+
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(emb(spark, dir), tau = 0.5)
+      .select(col("vec_a"), col("vec_b"))
+
+  // --- similarity search ------------------------------------------------
+
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(spark, dir), queryId = 0L, k = 10)
+      .select(col("vec_id"))
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(emb(spark, dir), queryId = 0L, k = 10)
+      .select(col("vec_id"))
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(spark, dir), queryId = 0L, k = 10)
+      .select(col("vec_id"))
+
+  // --- text analysis -----------------------------------------------------
+
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(spark, dir))
+
+  def langIdPred(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(TextAnalysis.langId(col("text")).as("pred"))
+      .groupBy(col("pred")).agg(count(lit(1)).as("n"))
+
+  def fingerprintPairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprintPairs(tokenDocs(spark, dir))
+      .select(col("doc_a").cast("bigint"), col("doc_b").cast("bigint"), col("shared"))
+
+  // --- multimodal ---------------------------------------------------------
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromDocuments(spark, dir)
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("byte_len").cast("bigint").as("byte_len"),
+        col("width").cast("bigint").as("width"), col("height").cast("bigint").as("height"),
+        col("n_frames").cast("bigint").as("n_frames"))
+  }
+
+  // --- wiring ------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_embedding_near_dups" -> (embeddingNearDups _),
+    "q_ann_brute_force" -> (annBruteForce _),
+    "q_ann_lsh" -> (annLsh _),
+    "q_ann_ivf" -> (annIvf _),
+    "q_quality_scores" -> (qualityScores _),
+    "q_lang_id" -> (langIdPred _),
+    "q_fingerprint_pairs" -> (fingerprintPairs _),
+    "q_multimodal_meta" -> (multimodalMeta _)
+  )
+
+  private val wordsSql = """regexp_split_to_array(trim(text), '\s+')"""
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups FROM documents GROUP BY text",
+    "q_ngram_jaccard" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source, $wordsSql AS ws FROM documents
+         |), g AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+         |  FROM w WHERE len(ws) >= 3
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.grams, b.grams)) AS inter_cnt,
+         |  len(list_distinct(list_concat(a.grams, b.grams))) AS union_cnt
+         |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.grams, b.grams)) >= 3""".stripMargin,
+    // Exact SQL reproduction of the LSH pipeline's OUTPUT on this corpus:
+    // the seeded MinHash/LSH has full recall at tau=0.7 here (asserted in
+    // PipelineSpec), and every candidate is exact-Jaccard-confirmed, so the
+    // result set equals the unblocked exact-Jaccard pairs.
+    "q_dedup_minhash" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+         |  FROM w WHERE len(ws) >= 3
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.grams, b.grams)) AS inter_cnt,
+         |  len(list_distinct(list_concat(a.grams, b.grams))) AS union_cnt
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.grams, b.grams))
+         |      >= 0.7 * len(list_distinct(list_concat(a.grams, b.grams)))""".stripMargin,
+    "q_embedding_near_dups" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a
+        | JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5""".stripMargin,
+    "q_ann_brute_force" ->
+      """SELECT b.vec_id FROM embeddings a, embeddings b
+        | WHERE a.vec_id = 0 AND b.vec_id <> 0
+        | ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+        | LIMIT 10""".stripMargin,
+    "q_quality_scores" ->
+      s"""SELECT doc_id,
+         |  len($wordsSql) AS n_words,
+         |  len(list_filter($wordsSql, w -> w IN ('the', 'a'))) AS stop_cnt,
+         |  length(trim(text)) AS n_chars,
+         |  (len($wordsSql) >= 10 AND len($wordsSql) <= 5000
+         |   AND len(list_filter($wordsSql, w -> w IN ('the', 'a'))) * 2 <= len($wordsSql)) AS quality_ok
+         |FROM documents""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(CAST(text AS BLOB)) AS byte_len,
+        |  CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 64 + ascii(text) % 64 END AS width,
+        |  CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 64 + ascii(substr(text, 2, 1)) % 64 END AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN 1
+        |       WHEN doc_id % 3 = 1 THEN 1 + octet_length(CAST(text AS BLOB)) % 100
+        |       ELSE 1 + octet_length(CAST(text AS BLOB)) % 30 END AS n_frames
+        |FROM documents""".stripMargin
+  )
+}

@@ -12,11 +12,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.containsTokens(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + the pipeline and
+    * relational coverage suites. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.engineQueries
+    Queries.engineQueries ++ PipelineQueries.queries ++ RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ PipelineQueries.oracles ++ RelationalQueries.oracles
 }

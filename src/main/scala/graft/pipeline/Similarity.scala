@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (vec_id, embedding:
+  * array<float>, label). Dot products run through built-in zip_with /
+  * aggregate (whole-stage codegen'd — no UDF in the hot path).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k neighbors of one query vector: broadcast the query,
+    * scan once, TakeOrderedAndProject. The exactness baseline.
+    */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = broadcast(emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb")))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(q)
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .orderBy(desc("cos"), col("vec_id"))
+      .select(col("vec_id"), col("cos"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket id (nBits sign bits). Deterministic
+    * hyperplanes from splitmix64(seed); dims is the embedding length.
+    * At scale: repartition by bucket once, then every query touches one
+    * (or a few multi-probe) buckets instead of the full table.
+    */
+  def lshBucket(emb: Column, dims: Int, nBits: Int, seed: Long): Column = {
+    // hyperplane h_b[d] = ±1 derived from mix64(seed, b, d); dot sign per bit
+    val bits = (0 until nBits).map { b =>
+      val signs = (0 until dims).map { d =>
+        if ((Hashing.mix64(seed + b.toLong * 131071L + d) & 1L) == 1L) 1.0 else -1.0
+      }
+      val signsCol = typedlit(signs)
+      val dot = aggregate(zip_with(emb, signsCol, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via multi-table random-hyperplane LSH: L independent tables
+    * of nBits sign bits; candidates = union of the query's bucket across
+    * tables, scored exactly (precision 1.0; recall = 1-(1-p)^L). Few wide
+    * tables suit clustered embeddings; this fixture's embeddings are nearly
+    * isotropic, so the defaults trade scan fraction for recall.
+    */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 4,
+              nTables: Int = 8, dims: Int = 64, seed: Long = 7L): DataFrame = {
+    val withBuckets = emb.withColumn("buckets",
+      array((0 until nTables).map(t =>
+        lshBucket(col("embedding"), dims, nBits, seed + 1000L * t)): _*))
+    val q = broadcast(withBuckets.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets")))
+    withBuckets.filter(col("vec_id") =!= queryId)
+      .crossJoin(q)
+      .filter(exists(zip_with(col("buckets"), col("q_buckets"), (a, b) => a === b),
+        x => x))
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .orderBy(desc("cos"), col("vec_id"))
+      .select(col("vec_id"), col("cos"))
+      .limit(k)
+  }
+
+  /** ANN top-k via IVF (inverted-file index): seeded k-means coarse
+    * quantizer, probe the nprobe nearest centroid cells, score candidates
+    * exactly. The scale path: the table is partitioned by cell once; a query
+    * reads nprobe/nlist of the data.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
+              nprobe: Int = 4, seed: Long = 11L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = emb.withColumn("__vec", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+    val qRow = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head()
+    val qEmb = qRow.getSeq[Float](0).toArray
+    // nprobe nearest cells by cosine between query and centroid
+    def cos(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val cells = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => -cos(c.toArray, qEmb) }
+      .take(nprobe).map(_._2)
+    val qDf = broadcast(assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb")))
+    assigned.filter(col("__cell").isin(cells.map(Integer.valueOf): _*) &&
+        col("vec_id") =!= queryId)
+      .crossJoin(qDf)
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .orderBy(desc("cos"), col("vec_id"))
+      .select(col("vec_id"), col("cos"))
+      .limit(k)
+  }
+}

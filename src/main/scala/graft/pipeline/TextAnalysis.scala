@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language-ID
+  * heuristic, quality scoring, token counting, document fingerprinting.
+  * All built from Catalyst built-ins + the pipeline expressions — no UDFs.
+  */
+object TextAnalysis {
+  import PipelineFunctions._
+
+  /** Stopword-profile language-ID heuristic (n-gram/stopword scoring): score
+    * each language by the fraction of words in its profile; argmax, or "und"
+    * when no profile matches. Profiles are tiny built-in sets — the real
+    * system would load fastText-style tables; the *plan shape* (score
+    * columns + greatest + case) is the deliverable.
+    */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "que"),
+    "zh" -> Seq("de0", "shi4", "le0", "zai4", "he2"))
+
+  def langIdScores(words: Column): Seq[(String, Column)] =
+    LangProfiles.toSeq.sortBy(_._1).map { case (lang, profile) =>
+      val p = typedlit(profile)
+      lang -> (size(array_intersect(words, p)).cast("double") /
+        greatest(size(array_distinct(words)).cast("double"), lit(1.0)))
+    }
+
+  def langId(text: Column): Column = {
+    val words = array_distinct(filter(split(trim(text), "\\s+"), w => w =!= lit("")))
+    val scores = langIdScores(words)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0.0, lit("und"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Quality signals per document: token count, stopword count/ratio,
+    * mean word length, and a pass/fail gate — the C4-style filter shape.
+    */
+  def qualityScore(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val words = filter(split(trim(col("text")), "\\s+"), w => w =!= lit(""))
+    val sw = typedlit(stopwords)
+    docs.select(
+      col("doc_id"),
+      size(words).cast("bigint").as("n_words"),
+      size(filter(words, w => array_contains(sw, w))).cast("bigint").as("stop_cnt"),
+      length(trim(col("text"))).cast("bigint").as("n_chars"))
+      .withColumn("quality_ok",
+        col("n_words") >= 10 && col("n_words") <= 5000 &&
+          col("stop_cnt") * 2 <= col("n_words"))
+  }
+
+  /** Winnowing fingerprints (rolling-hash document signatures): docs sharing
+    * many fingerprint values are near-duplicates / containment candidates.
+    */
+  def fingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      winnowFingerprint(col("tokens"), k, w).as("fingerprint"))
+
+  /** Fingerprint-sharing pairs: explode + self-join on fingerprint value —
+    * the shuffle-on-key plan that replaces all-pairs containment checks.
+    */
+  def fingerprintPairs(docs: DataFrame, k: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fp = fingerprints(docs, k, w)
+      .select(col("doc_id"), explode(col("fingerprint")).as("fp"))
+    val a = fp.alias("a")
+    val b = fp.alias("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import graft.spark.Tokenize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline-operator correctness: probabilistic (LSH) variants are held to
+  * their exact counterparts on the fixture corpus — precision must be 1.0
+  * (every emitted pair is verified exact), recall asserted against the
+  * known near-duplicates.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val docs = Tokenize.documents(spark, sf)._1.toDF().cache()
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // unblocked exact ground truth: all pairs with true 3-gram jaccard >= 0.7
+  private lazy val truth: Set[(Long, Long)] = pairs(
+    Dedup.ngramJaccardPairs(docs.withColumn("all", lit("x")), n = 3, minInter = 1,
+      blockKey = "all")
+      .filter(col("inter_cnt") >= col("union_cnt") * 0.7))
+
+  test("minhash LSH: precision 1.0 and full recall on the fixture's 25 planted pairs") {
+    assert(truth.size == 25 && truth.contains((107L, 387L)),
+      s"unexpected ground truth: $truth")
+    val lsh = pairs(Dedup.minhashLshPairs(docs, tau = 0.7))
+    assert(lsh.subsetOf(truth), s"LSH emitted non-duplicates: ${lsh -- truth}")
+    assert(lsh == truth, s"LSH missed: ${truth -- lsh}")
+  }
+
+  test("simhash finds the strongest near-dups with precision against exact jaccard") {
+    val sh = Dedup.simhashPairs(docs, maxHamming = 3)
+    val found = pairs(sh)
+    assert(found.contains((107L, 387L)), s"simhash missed near-dup: $found")
+    // unigram simhash within hamming 3 should overwhelmingly be true dups
+    val falsePos = found -- truth
+    assert(falsePos.size <= found.size / 2, s"simhash noisy: $falsePos")
+  }
+
+  test("ANN LSH and IVF recall vs brute force") {
+    val bf = Similarity.bruteForceTopK(emb, 0L, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(emb, 0L, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val lshRecall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(lshRecall >= 0.3, s"LSH recall too low: $lshRecall (bf=$bf lsh=$lsh)")
+    val ivf = Similarity.ivfTopK(emb, 0L, 10, nlist = 16, nprobe = 8).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val ivfRecall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(ivfRecall >= 0.4, s"IVF recall too low: $ivfRecall (bf=$bf ivf=$ivf)")
+  }
+
+  test("winnow fingerprints: identical docs share all, near-dups share most") {
+    val fp = TextAnalysis.fingerprintPairs(docs, minShared = 2)
+    val found = pairs(fp)
+    assert(found.contains((107L, 387L)), s"fingerprinting missed near-dup: $found")
+  }
+
+  test("langId returns a language for every doc and handles empty text") {
+    import spark.implicits._
+    val preds = Seq("the cat and the hat", "el que la de y", "", "zz yy xx")
+      .toDF("text").select(TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(_.getString(0))
+    assert(preds(0) == "en", preds.mkString(","))
+    assert(preds(1) == "es", preds.mkString(","))
+    assert(preds(2) == "und" && preds(3) == "und", preds.mkString(","))
+  }
+
+  test("multimodal: batch feature extraction is deterministic and schema-stable") {
+    val media = Multimodal.fromDocuments(spark, sf)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.length == 500)
+    assert(f1.zip(f2).forall { case (a, b) =>
+      a.media_id == b.media_id && a.width == b.width && a.feature.sameElements(b.feature)
+    })
+    val sampled = Multimodal.frameSample(Multimodal.extractFeatures(media), 2, 5)
+    assert(sampled.count() == 500)
+    val resized = Multimodal.resizePlan(Multimodal.extractFeatures(media), 64)
+    assert(resized.filter(col("out_w") > 64 || col("out_h") > 64).count() == 0)
+  }
+}
