@@ -3,6 +3,7 @@ package graft
 import graft.encode.{EncodeJob, EncodeOptions}
 import graft.spark.SyntheticData
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Benchmark main (driver contract): prints ONE JSON line.
   *
@@ -82,6 +83,45 @@ object Bench {
       s.stop()
       best
     }
+    // ---- part 3: the reference's headline comparison (raw vs compressed
+    // LIKE scan, /root/reference/src/BenchmarkDriver.cpp:81-83): contains-
+    // pattern over the synthetic corpus via (a) raw token arrays, (b) full
+    // decode-then-match, (c) compressed-domain DFA with bloom chunk-skip,
+    // (d) compressed match + decode-only-matches.
+    val patternBench = {
+      val sparkS = spark
+      import sparkS.implicits._
+      import graft.query.Graft
+      import graft.format.TokenRow
+      // longest planted phrase → selective pattern (bloom skip + DFA early
+      // exit actually matter; a 2-token phrase matches ~10% of rows)
+      val pat = (0 until 64).map(SyntheticData.hotPhrase).maxBy(_.length).toSeq
+      val input = spark.read.parquet(inputPath)
+      val chunks = EncodeJob.encode(input.as[TokenRow],
+        EncodeOptions(numBuckets = 64, forceCodec = Some("fsst"))).cache()
+      chunks.count()
+      def best(f: => Long): (Long, Double) = {
+        f // warm
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val n = f
+          (n, (System.nanoTime() - t0) / 1e9)
+        }.minBy(_._2)
+      }
+      val (nRaw, tRaw) = best(
+        input.filter(Graft.containsTokens(col("tokens"), pat)).count())
+      val (nDec, tDec) = best(
+        EncodeJob.decode(chunks).toDF().filter(Graft.containsTokens(col("tokens"), pat)).count())
+      val (nCmp, tCmp) = best(
+        Graft.scanPattern(chunks.toDF(), graft.core.PatternMode.Contains, Seq(pat)).count())
+      val (nLate, tLate) = best(
+        Graft.scanAndDecode(chunks, graft.core.PatternMode.Contains, Seq(pat)).count())
+      chunks.unpersist()
+      require(nRaw == nDec && nDec == nCmp && nCmp == nLate,
+        s"pattern-scan paths disagree: $nRaw $nDec $nCmp $nLate")
+      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_compressed_late_decode":$tLate%.3f}"""
+    }
+
     spark.stop()
     // N vs 4N stand-ins (BASELINE.md §6.2): 8↔32 as prescribed, plus 2↔8
     // where both levels are far from machine saturation (a single shared
@@ -98,6 +138,6 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode_bench":{"rows":$benchRows,"tokens":$toks,"bytes":$bytes,"bytes_per_token":$bytesPerToken%.4f,"sec_local32":$t32%.3f,"sec_local8":$t8%.3f,"sec_local2":$t2%.3f,"tokens_per_sec_local32":${thr(t32).toLong},"tokens_per_sec_local8":${thr(t8).toLong},"tokens_per_sec_local2":${thr(t2).toLong},"scaling_efficiency_8_to_32":$eff8to32%.3f,"scaling_efficiency_2_to_8":$eff2to8%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode_bench":{"rows":$benchRows,"tokens":$toks,"bytes":$bytes,"bytes_per_token":$bytesPerToken%.4f,"sec_local32":$t32%.3f,"sec_local8":$t8%.3f,"sec_local2":$t2%.3f,"tokens_per_sec_local32":${thr(t32).toLong},"tokens_per_sec_local8":${thr(t8).toLong},"tokens_per_sec_local2":${thr(t2).toLong},"scaling_efficiency_8_to_32":$eff8to32%.3f,"scaling_efficiency_2_to_8":$eff2to8%.3f},$patternBench}""")
   }
 }

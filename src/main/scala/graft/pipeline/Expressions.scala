@@ -137,10 +137,77 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** cosine_sim(a, b) over float arrays — a primitive-loop expression; the
+  * higher-order-function formulation (zip_with + aggregate) measured ~0.5 ms
+  * per pair, which makes exact pair joins infeasible.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toFloatArray()
+    val b = r.asInstanceOf[ArrayData].toFloatArray()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** lsh_buckets(emb): random-hyperplane sign buckets for nTables independent
+  * tables of nBits each — one primitive pass per row instead of
+  * nTables × nBits higher-order aggregates.
+  */
+case class LshBuckets(child: Expression, nBits: Int, nTables: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+  override protected def nullSafeEval(v: Any): Any = {
+    val emb = v.asInstanceOf[ArrayData].toFloatArray()
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        var dot = 0.0
+        var d = 0
+        while (d < emb.length) {
+          val sign = if ((Hashing.mix64(seed + 1000L * t + b.toLong * 131071L + d) & 1L) == 1L) 1.0 else -1.0
+          dot += emb(d) * sign
+          d += 1
+        }
+        if (dot >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object PipelineFunctions {
   import GraftBridge.{column => mk, expression => ex}
   def shingleHashes(tokens: Column, n: Int): Column = mk(ShingleHashes(ex(tokens), n))
   def minhashSig(shingles: Column, k: Int, seed: Long): Column = mk(MinHashSig(ex(shingles), k, seed))
   def simhash64(tokens: Column): Column = mk(SimHash64(ex(tokens)))
   def winnowFingerprint(tokens: Column, k: Int, w: Int): Column = mk(WinnowFingerprint(ex(tokens), k, w))
+  def cosineSim(a: Column, b: Column): Column = mk(CosineSim(ex(a), ex(b)))
+  def lshBuckets(emb: Column, nBits: Int, nTables: Int, seed: Long): Column =
+    mk(LshBuckets(ex(emb), nBits, nTables, seed))
 }

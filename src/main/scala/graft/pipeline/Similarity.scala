@@ -9,14 +9,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two float-array columns, computed in double
+    * (native expression — see CosineSim).
+    */
+  def cosine(a: Column, b: Column): Column = PipelineFunctions.cosineSim(a, b)
 
   /** Brute-force top-k neighbors of one query vector: broadcast the query,
     * scan once, TakeOrderedAndProject. The exactness baseline.
@@ -60,8 +56,7 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 4,
               nTables: Int = 8, dims: Int = 64, seed: Long = 7L): DataFrame = {
     val withBuckets = emb.withColumn("buckets",
-      array((0 until nTables).map(t =>
-        lshBucket(col("embedding"), dims, nBits, seed + 1000L * t)): _*))
+      PipelineFunctions.lshBuckets(col("embedding"), nBits, nTables, seed))
     val q = broadcast(withBuckets.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets")))
     withBuckets.filter(col("vec_id") =!= queryId)

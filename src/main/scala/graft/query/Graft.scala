@@ -97,4 +97,32 @@ object Graft {
     chunks
       .select(explode(mkCol(matchExpr)).as("doc_id"))
   }
+
+  /** Late materialization (the reference's decode-only-matches behavior,
+    * /root/reference/sketch.cc:921-927): match on compressed bytes, then
+    * decode ONLY the matching rows of each chunk.
+    */
+  def scanAndDecode(chunks: Dataset[EncodedChunk], mode: String,
+                    parts: Seq[Seq[Int]]): Dataset[graft.format.TokenRow] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val partsArr = parts.map(_.toArray).toArray
+    chunks.flatMap { c =>
+      val normalized = graft.core.PatternMode.normalize(mode, partsArr)
+      val offs = graft.format.Offsets.unpack(c.offsets, c.row_count)
+      val matched =
+        if (c.codec == graft.core.FsstTokenCodec.name) {
+          val st = graft.core.SymTab.fromBytes(c.symtab)
+          val pm = new graft.core.PatternMachine(normalized, st)
+          (0 until c.row_count).filter(i =>
+            graft.core.FsstMatch.eval(mode, pm, c.data, offs(i), offs(i + 1)))
+        } else {
+          val dec = graft.core.Codecs.byName(c.codec).decoder(c.symtab)
+          (0 until c.row_count).filter(i =>
+            graft.core.TokenMatch.eval(mode, normalized,
+              dec.decode(c.data, offs(i), offs(i + 1))))
+        }
+      graft.format.ChunkOps.decodeRows(c, matched.toArray)
+    }
+  }
 }

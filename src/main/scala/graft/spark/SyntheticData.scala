@@ -38,6 +38,9 @@ object SyntheticData {
   }
   private val ZipfVocab = 32000
   @transient private lazy val hotPhrases = phrases(987654321L, ZipfVocab)
+
+  /** A phrase planted in zipf/skew docs — the bench pattern (`%special%`). */
+  def hotPhrase(i: Int): Array[Int] = hotPhrases(i % 64).clone()
   @transient private lazy val lowcardVals = {
     val r = new Rng(192837465L)
     Array.fill(200)(r.nextInt(1 << 28))
