@@ -42,6 +42,43 @@ object Graft {
     if (!cur.contains(PushPatternIntoCompressed)) {
       spark.experimental.extraOptimizations = cur :+ PushPatternIntoCompressed
     }
+    registerSqlFunctions(spark)
+  }
+
+  /** SQL surface: the engine's functions usable from spark.sql(...).
+    * Pattern arguments must be foldable literals (they parameterize the DFA).
+    */
+  def registerSqlFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val reg = spark.sessionState.functionRegistry
+    def litInts(e: Expression): Seq[Int] = {
+      require(e.foldable, s"pattern must be a literal: $e")
+      e.eval().asInstanceOf[ArrayData].toIntArray().toSeq
+    }
+    def litIntss(e: Expression): Seq[Seq[Int]] = {
+      require(e.foldable, s"pattern parts must be literals: $e")
+      e.eval().asInstanceOf[ArrayData].toObjectArray(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
+        .map(_.asInstanceOf[ArrayData].toIntArray().toSeq).toSeq
+    }
+    def patternFn(name: String, mode: String): Unit =
+      reg.createOrReplaceTempFunction(name,
+        es => TokenPatternMatch(es.head, mode, Seq(litInts(es(1)))), "scala_udf")
+    patternFn("contains_tokens", graft.core.PatternMode.Contains)
+    patternFn("starts_with_tokens", graft.core.PatternMode.Prefix)
+    patternFn("ends_with_tokens", graft.core.PatternMode.Suffix)
+    patternFn("equals_tokens", graft.core.PatternMode.Equals)
+    reg.createOrReplaceTempFunction("multi_infix_tokens",
+      es => TokenPatternMatch(es.head, graft.core.PatternMode.MultiInfix, litIntss(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("decode_row",
+      es => DecodeRow(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => graft.pipeline.CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => graft.pipeline.SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => graft.pipeline.ShingleHashes(es(0),
+        es(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 
   private def col2expr(c: Column): Expression = GraftBridge.expression(c)

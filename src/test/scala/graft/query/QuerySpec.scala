@@ -91,4 +91,21 @@ class QuerySpec extends AnyFunSuite {
     val got = Graft.scanPattern(auto, PatternMode.Contains, parts)
     assert(want.except(got).isEmpty && got.except(want).isEmpty)
   }
+
+  test("SQL surface: pattern functions + pushdown through spark.sql") {
+    val view = Graft.encodedRows(chunks)
+    view.createOrReplaceTempView("encoded_docs")
+    input.toDF().createOrReplaceTempView("raw_docs")
+    val v = vocab
+    val sql = s"SELECT doc_id FROM encoded_docs WHERE contains_tokens(tokens, array(${v("value")}, ${v("table")}))"
+    val got = spark.sql(sql)
+    val want = spark.sql(s"SELECT doc_id FROM raw_docs WHERE contains_tokens(tokens, array(${v("value")}, ${v("table")}))")
+    assert(got.queryExecution.optimizedPlan.toString().contains("compressed_match_contains"))
+    assert(want.except(got).isEmpty && got.except(want).isEmpty)
+    // multi-infix + simhash from SQL
+    val mi = spark.sql(s"SELECT count(*) FROM raw_docs WHERE multi_infix_tokens(tokens, array(array(${v("table")}), array(${v("scan")})))")
+      .head().getLong(0)
+    assert(mi > 0)
+    assert(spark.sql("SELECT simhash64(tokens) FROM raw_docs LIMIT 1").head().getLong(0) != 0L)
+  }
 }
