@@ -45,19 +45,31 @@ object ChunkStats {
   }
 
   def compute(rows: IndexedSeq[Array[Int]]): ChunkStats = {
-    var minT = Int.MaxValue
-    var maxT = Int.MinValue
-    var maxRowRange = 0L
-    var maxRun = 0
-    var runs = 0L
-    var total = 0L
-    var vbytes = 0L
-    val bloom = new Array[Byte](BloomBytes)
-    val distinct = new IntSet(DictCodec.MaxCard)
-
+    val b = new Builder
     var ri = 0
-    while (ri < rows.length) {
-      val toks = rows(ri)
+    while (ri < rows.length) { b.addRow(rows(ri)); ri += 1 }
+    b.build()
+  }
+
+  /** Incremental builder — every statistic is row-internal or
+    * order-independent, so stats can accrue while rows are buffered (fusing
+    * the stats pass into chunk accumulation) and the chunk can still sort
+    * its rows afterwards.
+    */
+  final class Builder {
+    private var rowCount = 0
+    private var minT = Int.MaxValue
+    private var maxT = Int.MinValue
+    private var maxRowRange = 0L
+    private var maxRun = 0
+    private var runs = 0L
+    private var total = 0L
+    private var vbytes = 0L
+    private var bloom = new Array[Byte](BloomBytes)
+    private var distinct = new IntSet(DictCodec.MaxCard)
+
+    def addRow(toks: Array[Int]): Unit = {
+      rowCount += 1
       val n = toks.length
       total += n
       var rowMin = Int.MaxValue
@@ -83,12 +95,28 @@ object ChunkStats {
         val range = rowMax.toLong - rowMin.toLong
         if (range > maxRowRange) maxRowRange = range
       }
-      ri += 1
     }
-    if (total == 0L) { minT = 0; maxT = 0 }
-    val sorted = if (distinct.overflowed) None else Some(distinct.toSortedArray)
-    ChunkStats(rows.length, total, minT, maxT, maxRowRange, maxRun, runs, vbytes,
-      sorted, if (distinct.overflowed) DictCodec.MaxCard + 1L else distinct.size.toLong, bloom)
+
+    def build(): ChunkStats = {
+      val minOut = if (total == 0L) 0 else minT
+      val maxOut = if (total == 0L) 0 else maxT
+      val sorted = if (distinct.overflowed) None else Some(distinct.toSortedArray)
+      ChunkStats(rowCount, total, minOut, maxOut, maxRowRange, maxRun, runs, vbytes,
+        sorted, if (distinct.overflowed) DictCodec.MaxCard + 1L else distinct.size.toLong, bloom)
+    }
+
+    def reset(): Unit = {
+      rowCount = 0
+      minT = Int.MaxValue
+      maxT = Int.MinValue
+      maxRowRange = 0L
+      maxRun = 0
+      runs = 0L
+      total = 0L
+      vbytes = 0L
+      bloom = new Array[Byte](BloomBytes)
+      distinct = new IntSet(DictCodec.MaxCard)
+    }
   }
 }
 

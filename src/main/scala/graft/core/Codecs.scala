@@ -19,7 +19,15 @@ trait ChunkCodec extends Serializable {
   def decoder(header: Array[Byte]): RowDecoder
 }
 
-trait RowEncoder { def encode(toks: Array[Int], out: ByteWriter): Unit; def escapeCount: Long = 0L }
+trait RowEncoder {
+  def encode(toks: Array[Int], out: ByteWriter): Unit
+  def escapeCount: Long = 0L
+  /** Bloom over tokens this encoder wrote as escapes (FSST only; null else).
+    * The analog of the reference's used_chars escaped-byte bitmap
+    * (/root/reference/src/BenchmarkDriver.cpp:128-137), keyed by token.
+    */
+  def escapedBloom: Array[Byte] = null
+}
 trait RowDecoder { def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] }
 
 // ---------------------------------------------------------------------------
@@ -40,7 +48,9 @@ object FsstTokenCodec extends ChunkCodec {
   def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
     private val st = SymTab.fromBytes(header)
     private var esc = 0L
+    private val escBloom = new Array[Byte](ChunkStats.BloomBytes)
     override def escapeCount: Long = esc
+    override def escapedBloom: Array[Byte] = escBloom
     def encode(toks: Array[Int], out: ByteWriter): Unit = {
       val n = toks.length
       out.writeVarUInt(n)
@@ -48,7 +58,13 @@ object FsstTokenCodec extends ChunkCodec {
       while (i < n) {
         val code = st.longestMatch(toks, i, n)
         if (code >= 0) { out.writeByte(code); i += st.symLen(code) }
-        else { out.writeByte(SymTab.EscapeCode); out.writeZigZag(toks(i)); i += 1; esc += 1 }
+        else {
+          out.writeByte(SymTab.EscapeCode)
+          out.writeZigZag(toks(i))
+          ChunkStats.bloomSet(escBloom, toks(i))
+          i += 1
+          esc += 1
+        }
       }
     }
   }

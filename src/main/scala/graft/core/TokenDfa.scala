@@ -76,6 +76,55 @@ final class CodeDfa(val dfa: TokenDfa, st: SymTab) {
 final class PatternMachine(val parts: Array[Array[Int]], val st: SymTab) {
   val dfas: Array[TokenDfa] = parts.map(new TokenDfa(_))
   val codeDfas: Array[CodeDfa] = dfas.map(new CodeDfa(_, st))
+
+  /** token → codes whose symbol expansion contains it (for the
+    * required-symbol skipping scan, SURVEY.md §2.1 F6).
+    */
+  @transient private lazy val codesByToken: scala.collection.mutable.LongMap[Array[Int]] = {
+    val m = scala.collection.mutable.LongMap.empty[scala.collection.mutable.ArrayBuffer[Int]]
+    var c = 0
+    while (c < st.nSymbols) {
+      st.symbol(c).distinct.foreach { t =>
+        m.getOrElseUpdate(t.toLong, scala.collection.mutable.ArrayBuffer.empty[Int]) += c
+      }
+      c += 1
+    }
+    val out = scala.collection.mutable.LongMap.empty[Array[Int]]
+    m.foreach { case (k, v) => out(k) = v.toArray }
+    out
+  }
+
+  def codesContaining(t: Int): Array[Int] =
+    codesByToken.getOrElse(t.toLong, Array.emptyIntArray)
+
+  /** Byte table over codes that any match MUST touch, or null when the gate
+    * does not apply (some pattern token occurs escaped in this chunk).
+    * Returns Left(()) when the chunk provably cannot match at all.
+    */
+  def requiredCodeTable(escapedBloom: Array[Byte]): Either[Unit, Array[Boolean]] = {
+    var best: Array[Int] = null
+    var k = 0
+    while (k < parts.length) {
+      val part = parts(k)
+      var i = 0
+      while (i < part.length) {
+        val t = part(i)
+        if (!ChunkStats.bloomHas(escapedBloom, t)) {
+          val codes = codesContaining(t)
+          if (codes.isEmpty) return Left(()) // token unreachable → no match possible
+          if (best == null || codes.length < best.length) best = codes
+        }
+        i += 1
+      }
+      k += 1
+    }
+    if (best == null) Right(null)
+    else {
+      val table = new Array[Boolean](256)
+      best.foreach(c => table(c) = true)
+      Right(table)
+    }
+  }
 }
 
 object PatternMachine {

@@ -127,7 +127,7 @@ private final class ChunkIterator(it: Iterator[(Int, TokenRow)], opts: EncodeOpt
     }
     val chunk = ChunkOps.build((bucket.toLong << 24) | seq.toLong, bucket,
       docIds, Array.fill(order.length)(key._2), scala.collection.immutable.ArraySeq.unsafeWrapArray(rows),
-      opts.forceCodec, fsstHeaders)
+      opts.forceCodec, fsstHeaders, g.buildStats())
     g.reset()
     chunk
   }
@@ -165,13 +165,17 @@ private final class ChunkIterator(it: Iterator[(Int, TokenRow)], opts: EncodeOpt
   }
 }
 
-/** Compact open-chunk accumulator: tokens in one growing primitive array. */
+/** Compact open-chunk accumulator: tokens in one growing primitive array.
+  * Chunk statistics accrue during add() (fused pass — all stats are
+  * row-internal or order-independent, see ChunkStats.Builder).
+  */
 private final class GroupBuffer {
   private var big = new Array[Int](1 << 12)
   private var len = 0
   private val starts = new scala.collection.mutable.ArrayBuffer[Int]
   private val lens = new scala.collection.mutable.ArrayBuffer[Int]
   private val ids = new scala.collection.mutable.ArrayBuffer[String]
+  private val statsB = new graft.core.ChunkStats.Builder
 
   def add(docId: String, toks: Array[Int]): Unit = {
     if (len + toks.length > big.length) {
@@ -184,7 +188,10 @@ private final class GroupBuffer {
     lens += toks.length
     ids += docId
     len += toks.length
+    statsB.addRow(toks)
   }
+
+  def buildStats(): graft.core.ChunkStats = statsB.build()
 
   def size: Int = ids.length
   def tokenCount: Long = len.toLong
@@ -197,6 +204,7 @@ private final class GroupBuffer {
     starts.clear()
     lens.clear()
     ids.clear()
+    statsB.reset()
   }
 
   /** Rows ordered by (n_tok, doc_id) within the chunk. */

@@ -13,7 +13,8 @@ final case class ChunkStatsRow(
     max_tok: Int,
     max_run: Int,
     escape_cnt: Long,
-    symbol_bitmap: Array[Byte])
+    symbol_bitmap: Array[Byte],   // bloom over ALL tokens in the chunk (chunk skip)
+    escaped_bitmap: Array[Byte])  // bloom over tokens written as ESCAPES (row-level skip gate)
 
 /** One encoded chunk = one Dataset row. The Spark analog of the reference's
   * FsstBlock (/root/reference/src/BenchmarkDriver.hpp:14-38): the symbol
@@ -86,8 +87,9 @@ object ChunkOps {
     */
   def build(chunkId: Long, partId: Int, docIds: Array[String], sources: Array[String],
             rows: IndexedSeq[Array[Int]], forceCodec: Option[String],
-            fsstHeaderCache: scala.collection.mutable.Map[(Int, String), Array[Byte]] = null): EncodedChunk = {
-    val stats = ChunkStats.compute(rows)
+            fsstHeaderCache: scala.collection.mutable.Map[(Int, String), Array[Byte]] = null,
+            precomputedStats: ChunkStats = null): EncodedChunk = {
+    val stats = if (precomputedStats != null) precomputedStats else ChunkStats.compute(rows)
     val groupKey = (partId, if (sources.nonEmpty) sources(0) else "")
     val cached = if (fsstHeaderCache == null) None else fsstHeaderCache.get(groupKey)
     val (codec, header) = forceCodec match {
@@ -122,7 +124,9 @@ object ChunkOps {
       doc_ids = docIds,
       sources = sources,
       stats = ChunkStatsRow(stats.distinctEst, stats.minTok, stats.maxTok,
-        stats.maxRun, enc.escapeCount, stats.bloom),
+        stats.maxRun, enc.escapeCount, stats.bloom,
+        if (enc.escapedBloom != null) enc.escapedBloom
+        else stats.bloom), // non-FSST codecs decode-then-match: every token "escaped"
       crc = crc32(data))
   }
 

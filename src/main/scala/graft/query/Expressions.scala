@@ -129,7 +129,7 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
   */
 case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[Seq[Int]])
     extends Expression with CodegenFallback {
-  // children: doc_ids, data, offsets, row_count, symtab, codec, bloom
+  // children: doc_ids, data, offsets, row_count, symtab, codec, bloom, escaped_bloom
   private val partsArr: Array[Array[Int]] =
     PatternMode.normalize(mode, parts.map(_.toArray).toArray)
   private val neededTokens: Array[Int] = partsArr.flatten.distinct
@@ -137,6 +137,20 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = s"chunk_match_$mode"
+
+  /** Any byte of the row in `table`? Conservative: varint bytes may alias a
+    * code (false positive → row just runs the DFA), never a false negative.
+    */
+  private def rowHasRequired(data: Array[Byte], from: Int, to: Int,
+                             table: Array[Boolean]): Boolean = {
+    var i = from
+    while (i < to) {
+      if (table(data(i) & 0xff)) return true
+      i += 1
+    }
+    false
+  }
+
   override def eval(input: InternalRow): Any = {
     val docIds = children(0).eval(input).asInstanceOf[ArrayData]
     val bloom = children(6).eval(input).asInstanceOf[Array[Byte]]
@@ -156,9 +170,20 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
     if (codec == FsstTokenCodec.name) {
       val st = EvalCaches.symtab(header)
       val pm = PatternMachine.forTable(st, patternId, partsArr)
+      // row-level required-code scan (F6): when no pattern token occurs
+      // escaped in this chunk, a match must touch one of the codes whose
+      // symbol spells the rarest pattern token — cheap byte scan before DFA.
+      val escaped = children(7).eval(input).asInstanceOf[Array[Byte]]
+      val required = pm.requiredCodeTable(escaped) match {
+        case scala.util.Left(_) => return new GenericArrayData(Array.empty[Any]) // provably no match
+        case scala.util.Right(tbl) => tbl
+      }
       var i = 0
       while (i < rowCount) {
-        if (FsstMatch.eval(mode, pm, data, offs(i), offs(i + 1))) out += docIds.getUTF8String(i)
+        if ((required == null || rowHasRequired(data, offs(i), offs(i + 1), required)) &&
+            FsstMatch.eval(mode, pm, data, offs(i), offs(i + 1))) {
+          out += docIds.getUTF8String(i)
+        }
         i += 1
       }
     } else {

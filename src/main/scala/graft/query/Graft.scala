@@ -129,7 +129,7 @@ object Graft {
     val matchExpr = ChunkMatchDocIds(
       Seq(col2expr(col("doc_ids")), col2expr(col("data")), col2expr(col("offsets")),
         col2expr(col("row_count")), col2expr(col("symtab")), col2expr(col("codec")),
-        col2expr(col("stats.symbol_bitmap"))),
+        col2expr(col("stats.symbol_bitmap")), col2expr(col("stats.escaped_bitmap"))),
       mode, parts)
     chunks
       .select(explode(mkCol(matchExpr)).as("doc_id"))

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.encode.{EncodeJob, EncodeOptions, TableIO}
+import graft.format.{ManifestRow, TokenRow}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingestion for the token table: a `readStream` of TokenRows is
+  * encoded micro-batch-at-a-time with the SAME batch encode path (explicit
+  * bucket shuffle → chunk build) via foreachBatch, appending chunk files and
+  * per-(batch, bucket) manifest rows. Combined with Spark's streaming
+  * checkpoint, an interrupted stream resumes at the last committed batch and
+  * the manifest records exactly which (batch_id, bucket) groups landed.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.3); this is the
+  * Spark-native extension point for continuous training-data ingestion.
+  */
+object StreamingEncode {
+
+  /** Start encoding a streaming token Dataset into `io`. The caller owns the
+    * stream source (file source, Kafka-shaped, or MemoryStream in tests).
+    */
+  def start(stream: Dataset[TokenRow], io: TableIO, runId: String,
+            checkpointDir: String, opts: EncodeOptions = EncodeOptions()): StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[TokenRow], batchId: Long) =>
+        val spark = batch.sparkSession
+        val chunks = EncodeJob.encode(batch, opts)
+        io.appendChunks(chunks)
+        val written = io.readChunks(spark).toDF()
+          .groupBy(col("part_id"))
+          .agg(count(lit(1)).as("n_chunks"), sum(col("row_count")).as("rows"),
+            sum(col("n_tokens")).as("tokens"),
+            sum(length(col("data")) + length(col("symtab")) + length(col("offsets"))).as("bytes"))
+          .collect()
+        val now = System.currentTimeMillis()
+        val rows = written.toSeq.map(r => ManifestRow(
+          s"$runId-batch-$batchId", batchId.toInt, r.getInt(0), "committed",
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), now))
+        if (rows.nonEmpty) io.appendManifest(spark.createDataFrame(rows))
+        ()
+      }
+      .start()
+  }
+}
