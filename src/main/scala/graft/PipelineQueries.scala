@@ -70,6 +70,9 @@ object PipelineQueries {
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(spark, dir))
 
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(spark, dir))
+
   def langIdPred(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(TextAnalysis.langId(col("text")).as("pred"))
       .groupBy(col("pred")).agg(count(lit(1)).as("n"))
@@ -100,6 +103,7 @@ object PipelineQueries {
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_quality_scores" -> (qualityScores _),
+    "q_token_counts" -> (tokenCounts _),
     "q_lang_id" -> (langIdPred _),
     "q_fingerprint_pairs" -> (fingerprintPairs _),
     "q_multimodal_meta" -> (multimodalMeta _)
@@ -159,6 +163,10 @@ object PipelineQueries {
          |  length(trim(text)) AS n_chars,
          |  (len($wordsSql) >= 10 AND len($wordsSql) <= 5000
          |   AND len(list_filter($wordsSql, w -> w IN ('the', 'a'))) * 2 <= len($wordsSql)) AS quality_ok
+         |FROM documents""".stripMargin,
+    "q_token_counts" ->
+      s"""SELECT doc_id, len($wordsSql) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpeish_tokens
          |FROM documents""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,

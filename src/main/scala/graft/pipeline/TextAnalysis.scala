@@ -55,6 +55,19 @@ object TextAnalysis {
           col("stop_cnt") * 2 <= col("n_words"))
   }
 
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs | digit runs | single punctuation) — the two standard
+    * pre-tokenization size estimates for a training corpus.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val words = filter(split(trim(col("text")), "\\s+"), w => w =!= lit(""))
+    docs.select(
+      col("doc_id"),
+      size(words).cast("bigint").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("bigint").as("bpeish_tokens"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document signatures): docs sharing
     * many fingerprint values are near-duplicates / containment candidates.
     */

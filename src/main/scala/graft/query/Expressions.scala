@@ -73,15 +73,25 @@ case class DecodeRow(enc: Expression, header: Expression, codecName: Expression)
   * /root/reference/src/algos/StdFind.hpp:25-46).
   */
 case class TokenPatternMatch(child: Expression, mode: String, parts: Seq[Seq[Int]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private val partsArr: Array[Array[Int]] =
     PatternMode.normalize(mode, parts.map(_.toArray).toArray)
   override def dataType: DataType = BooleanType
   override def prettyName: String = s"tokens_match_$mode"
-  override protected def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData].toIntArray()
-    TokenMatch.eval(mode, partsArr, arr)
+
+  def matches(arr: ArrayData): Boolean =
+    TokenMatch.eval(mode, partsArr, arr.toIntArray())
+
+  override protected def nullSafeEval(v: Any): Any =
+    matches(v.asInstanceOf[ArrayData])
+
+  // stays inside WholeStageCodegen: one static-shaped call per row
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("tokenPatternMatch", this, classOf[TokenPatternMatch].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.matches($c);")
   }
+
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -93,7 +103,7 @@ case class TokenPatternMatch(child: Expression, mode: String, parts: Seq[Seq[Int
   */
 case class CompressedPatternMatch(enc: Expression, header: Expression, codecName: Expression,
                                   mode: String, parts: Seq[Seq[Int]])
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   private val partsArr: Array[Array[Int]] =
     PatternMode.normalize(mode, parts.map(_.toArray).toArray)
   private val patternId = System.identityHashCode(this)
@@ -102,10 +112,9 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
   override def third: Expression = codecName
   override def dataType: DataType = BooleanType
   override def prettyName: String = s"compressed_match_$mode"
-  override protected def nullSafeEval(e: Any, h: Any, c: Any): Any = {
-    val bytes = e.asInstanceOf[Array[Byte]]
-    val headerBytes = h.asInstanceOf[Array[Byte]]
-    val codec = c.asInstanceOf[UTF8String].toString
+
+  def matches(bytes: Array[Byte], headerBytes: Array[Byte], codecU: UTF8String): Boolean = {
+    val codec = codecU.toString
     if (codec == FsstTokenCodec.name) {
       val st = EvalCaches.symtab(headerBytes)
       val pm = PatternMachine.forTable(st, patternId, partsArr)
@@ -115,6 +124,16 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
       TokenMatch.eval(mode, partsArr, dec.decode(bytes, 0, bytes.length))
     }
   }
+
+  override protected def nullSafeEval(e: Any, h: Any, c: Any): Any =
+    matches(e.asInstanceOf[Array[Byte]], h.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("compressedPatternMatch", this, classOf[CompressedPatternMatch].getName)
+    nullSafeCodeGen(ctx, ev, (e, h, c) => s"${ev.value} = $ref.matches($e, $h, $c);")
+  }
+
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
     copy(enc = f, header = s, codecName = t)
 }
