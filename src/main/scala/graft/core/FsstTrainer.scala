@@ -54,7 +54,8 @@ object FsstTrainer {
     c
   }
 
-  def train(rows: IndexedSeq[Array[Int]], maxSampleTokens: Int = DefaultSampleTokens): SymTab = {
+  def train(rows: IndexedSeq[Array[Int]], maxSampleTokens: Int = DefaultSampleTokens,
+            generations: Int = Generations): SymTab = {
     // Cap the sample: whole rows until the token budget is hit (the reference
     // trains on the whole 64Ki-row block; at Spark chunk sizes a capped sample
     // keeps training O(sample) while escapes absorb unseen tokens).
@@ -70,7 +71,7 @@ object FsstTrainer {
 
     var table = SymTab.empty
     var gen = 0
-    while (gen < Generations) {
+    while (gen < generations) {
       val counts = new java.util.HashMap[Key, Counter]()
       def bump(k: Key): Unit = {
         val c = counts.get(k)
