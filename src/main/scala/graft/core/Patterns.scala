@@ -14,14 +14,18 @@ object PatternMode {
   val MultiInfix = "multi_infix"
   val all: Set[String] = Set(Contains, Prefix, Suffix, Equals, MultiInfix)
 
-  /** Normalize: drop empty parts (as SplitPattern does); non-multi modes have
-    * exactly one part.
+  /** Normalize: multi-infix drops empty parts (as SplitPattern does,
+    * /root/reference/src/Utility.hpp:37-50); single-part modes keep an empty
+    * pattern as-is (contains/prefix/suffix of [] matches everything; equals
+    * [] matches only empty rows — the LIKE '%%' / '' semantics).
     */
   def normalize(mode: String, parts: Array[Array[Int]]): Array[Array[Int]] = {
     require(all.contains(mode), s"unknown pattern mode $mode")
-    val p = parts.filter(_.nonEmpty)
-    if (mode != MultiInfix) require(parts.length == 1, s"$mode takes exactly one pattern part")
-    p
+    if (mode == MultiInfix) parts.filter(_.nonEmpty)
+    else {
+      require(parts.length == 1, s"$mode takes exactly one pattern part")
+      parts
+    }
   }
 }
 

@@ -90,6 +90,7 @@ class MatcherSpec extends AnyFunSuite {
       }
     }
     val pats = Seq(
+      Array.emptyIntArray, // LIKE '%%' analog: contains/prefix/suffix all true; equals only on empty rows
       Array(1, 2, 3), Array.fill(200)(7), Array(7), Array(99), (0 until 50).toArray)
     for (p <- pats; mode <- Seq("contains", "prefix", "suffix", "equals"))
       check(mode, Array(p))
