@@ -46,7 +46,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "400000").toLong
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
 
     // ---- part 1: headline queries ------------------------------------
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -119,9 +119,15 @@ object Bench {
       // exit actually matter; a 2-token phrase matches ~10% of rows)
       val pat = (0 until 64).map(SyntheticData.hotPhrase).maxBy(_.length).toSeq
       val input = spark.read.parquet(inputPath)
-      val chunks = EncodeJob.encode(input.as[TokenRow],
-        EncodeOptions(numBuckets = 64, forceCodec = Some("fsst"))).cache()
-      chunks.count()
+      // materialize the chunk table to parquet so raw and compressed scans
+      // both read from storage (fair comparison; page cache warms both)
+      val chunksPath = s"${inputPath}_chunks_fsst"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(chunksPath))) {
+        EncodeJob.encode(input.as[TokenRow],
+          EncodeOptions(numBuckets = 64, forceCodec = Some("fsst")))
+          .write.mode("overwrite").parquet(chunksPath)
+      }
+      val chunks = spark.read.parquet(chunksPath).as[graft.format.EncodedChunk]
       def best(f: => Long): (Long, Double) = {
         f // warm
         (1 to 3).map { _ =>
@@ -138,7 +144,6 @@ object Bench {
         Graft.scanPattern(chunks.toDF(), graft.core.PatternMode.Contains, Seq(pat)).count())
       val (nLate, tLate) = best(
         Graft.scanAndDecode(chunks, graft.core.PatternMode.Contains, Seq(pat)).count())
-      chunks.unpersist()
       require(nRaw == nDec && nDec == nCmp && nCmp == nLate,
         s"pattern-scan paths disagree: $nRaw $nDec $nCmp $nLate")
       f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_compressed_late_decode":$tLate%.3f}"""

@@ -99,16 +99,10 @@ object FsstTrainer {
         s += 1
       }
 
-      // gain = occurrences × bytes saved per occurrence
-      import scala.jdk.CollectionConverters._
-      val scored = counts.entrySet().iterator().asScala.map { e =>
-        val k = e.getKey
-        val gain = e.getValue.n * (literalCost(k.a, k.from, k.len) - 1).toLong
-        (gain, k)
-      }.filter(_._1 > 0).toArray
-
-      // deterministic: gain desc, then shorter first, then lexicographic tokens
-      java.util.Arrays.sort(scored, new java.util.Comparator[(Long, Key)] {
+      // top-255 by gain via a bounded min-heap (full sort of all candidates
+      // dominated training time). Deterministic: the comparator is a total
+      // order (gain desc, shorter first, then lexicographic tokens).
+      val cmp = new java.util.Comparator[(Long, Key)] {
         def compare(x: (Long, Key), y: (Long, Key)): Int = {
           if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
           else if (x._2.len != y._2.len) Integer.compare(x._2.len, y._2.len)
@@ -122,12 +116,28 @@ object FsstTrainer {
             c
           }
         }
-      })
+      }
+      // min-heap keyed by REVERSED cmp so the heap root is the worst kept
+      val heap = new java.util.PriorityQueue[(Long, Key)](SymTab.MaxSymbols + 1, cmp.reversed())
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey
+        val gain = e.getValue.n * (literalCost(k.a, k.from, k.len) - 1).toLong
+        if (gain > 0) {
+          if (heap.size < SymTab.MaxSymbols) heap.add((gain, k))
+          else if (cmp.compare((gain, k), heap.peek()) < 0) {
+            heap.poll()
+            heap.add((gain, k))
+          }
+        }
+      }
+      val scored = heap.toArray(new Array[(Long, Key)](heap.size))
+      java.util.Arrays.sort(scored, cmp)
 
-      val take = math.min(SymTab.MaxSymbols, scored.length)
-      val syms = new Array[Array[Int]](take)
+      val syms = new Array[Array[Int]](scored.length)
       var i = 0
-      while (i < take) { syms(i) = scored(i)._2.materialize; i += 1 }
+      while (i < scored.length) { syms(i) = scored(i)._2.materialize; i += 1 }
       table = new SymTab(syms)
       gen += 1
     }

@@ -126,7 +126,7 @@ private final class ChunkIterator(it: Iterator[(Int, TokenRow)], opts: EncodeOpt
       i += 1
     }
     val chunk = ChunkOps.build((bucket.toLong << 24) | seq.toLong, bucket,
-      docIds, Array.fill(order.length)(key._2), scala.collection.immutable.ArraySeq.unsafeWrapArray(rows),
+      docIds, key._2, scala.collection.immutable.ArraySeq.unsafeWrapArray(rows),
       opts.forceCodec, fsstHeaders, g.buildStats())
     g.reset()
     chunk

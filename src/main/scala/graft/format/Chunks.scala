@@ -32,8 +32,10 @@ final case class EncodedChunk(
     row_count: Int,
     n_tokens: Long,
     first_doc_id: String,
-    doc_ids: Array[String],
-    sources: Array[String],
+    doc_ids: Array[Byte],         // packed ids: per row varUInt(len) + UTF-8 bytes —
+                                  // one binary cell instead of row_count string cells
+                                  // (string-array materialization dominated chunk scans)
+    source: String,               // chunks never span sources (EncodeJob)
     stats: ChunkStatsRow,
     crc: Long)
 
@@ -74,6 +76,36 @@ object Offsets {
   }
 }
 
+/** Packed per-row doc ids: varUInt(byteLen) + UTF-8 bytes per row. Sequential
+  * cursor access matches the matchers' row loops; only matched ids are ever
+  * materialized as strings.
+  */
+object PackedIds {
+  def pack(ids: Array[String]): Array[Byte] = {
+    val w = new graft.core.ByteWriter(ids.length * 12)
+    var i = 0
+    while (i < ids.length) {
+      val b = ids(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      w.writeVarUInt(b.length)
+      w.writeBytes(b, 0, b.length)
+      i += 1
+    }
+    w.toBytes
+  }
+  def unpackAll(packed: Array[Byte], rowCount: Int): Array[String] = {
+    val r = new graft.core.ByteReader(packed, 0, packed.length)
+    val out = new Array[String](rowCount)
+    var i = 0
+    while (i < rowCount) {
+      val len = r.readVarUInt()
+      out(i) = new String(packed, r.pos, len, java.nio.charset.StandardCharsets.UTF_8)
+      r.pos += len
+      i += 1
+    }
+    out
+  }
+}
+
 object ChunkOps {
   def crc32(data: Array[Byte]): Long = {
     val c = new java.util.zip.CRC32()
@@ -85,12 +117,12 @@ object ChunkOps {
     * forced). `fsstHeaderCache`, when given, is consulted/updated so the
     * expensive symbol-table training runs once per (bucket, source) group.
     */
-  def build(chunkId: Long, partId: Int, docIds: Array[String], sources: Array[String],
+  def build(chunkId: Long, partId: Int, docIds: Array[String], source: String,
             rows: IndexedSeq[Array[Int]], forceCodec: Option[String],
             fsstHeaderCache: scala.collection.mutable.Map[(Int, String), Array[Byte]] = null,
             precomputedStats: ChunkStats = null): EncodedChunk = {
     val stats = if (precomputedStats != null) precomputedStats else ChunkStats.compute(rows)
-    val groupKey = (partId, if (sources.nonEmpty) sources(0) else "")
+    val groupKey = (partId, source)
     val cached = if (fsstHeaderCache == null) None else fsstHeaderCache.get(groupKey)
     val (codec, header) = forceCodec match {
       case Some(name) =>
@@ -121,8 +153,8 @@ object ChunkOps {
       row_count = rows.length,
       n_tokens = stats.totalTokens,
       first_doc_id = if (docIds.nonEmpty) docIds(0) else "",
-      doc_ids = docIds,
-      sources = sources,
+      doc_ids = PackedIds.pack(docIds),
+      source = source,
       stats = ChunkStatsRow(stats.distinctEst, stats.minTok, stats.maxTok,
         stats.maxRun, enc.escapeCount, stats.bloom,
         if (enc.escapedBloom != null) enc.escapedBloom
@@ -136,9 +168,10 @@ object ChunkOps {
     val dec = codec.decoder(c.symtab)
     val offs = Offsets.unpack(c.offsets, c.row_count)
     require(ChunkOps.crc32(c.data) == c.crc, s"chunk ${c.chunk_id}: crc mismatch")
+    val ids = PackedIds.unpackAll(c.doc_ids, c.row_count)
     (0 until c.row_count).iterator.map { i =>
       val toks = dec.decode(c.data, offs(i), offs(i + 1))
-      TokenRow(c.doc_ids(i), toks, toks.length, c.sources(i))
+      TokenRow(ids(i), toks, toks.length, c.source)
     }
   }
 
@@ -147,9 +180,10 @@ object ChunkOps {
     val codec = Codecs.byName(c.codec)
     val dec = codec.decoder(c.symtab)
     val offs = Offsets.unpack(c.offsets, c.row_count)
+    val ids = PackedIds.unpackAll(c.doc_ids, c.row_count)
     rowIdx.iterator.map { i =>
       val toks = dec.decode(c.data, offs(i), offs(i + 1))
-      TokenRow(c.doc_ids(i), toks, toks.length, c.sources(i))
+      TokenRow(ids(i), toks, toks.length, c.source)
     }
   }
 }

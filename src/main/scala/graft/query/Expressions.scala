@@ -171,7 +171,7 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
   }
 
   override def eval(input: InternalRow): Any = {
-    val docIds = children(0).eval(input).asInstanceOf[ArrayData]
+    val packedIds = children(0).eval(input).asInstanceOf[Array[Byte]]
     val bloom = children(6).eval(input).asInstanceOf[Array[Byte]]
     // chunk skip: every pattern token must be (possibly) present
     var t = 0
@@ -186,6 +186,12 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
     val codec = children(5).eval(input).asInstanceOf[UTF8String].toString
     val offs = Offsets.unpack(offBytes, rowCount)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val idCursor = new graft.core.ByteReader(packedIds, 0, packedIds.length)
+    @inline def nextId(matched: Boolean): Unit = {
+      val len = idCursor.readVarUInt()
+      if (matched) out += UTF8String.fromBytes(packedIds, idCursor.pos, len)
+      idCursor.pos += len
+    }
     if (codec == FsstTokenCodec.name) {
       val st = EvalCaches.symtab(header)
       val pm = PatternMachine.forTable(st, patternId, partsArr)
@@ -199,18 +205,15 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
       }
       var i = 0
       while (i < rowCount) {
-        if ((required == null || rowHasRequired(data, offs(i), offs(i + 1), required)) &&
-            FsstMatch.eval(mode, pm, data, offs(i), offs(i + 1))) {
-          out += docIds.getUTF8String(i)
-        }
+        nextId((required == null || rowHasRequired(data, offs(i), offs(i + 1), required)) &&
+          FsstMatch.eval(mode, pm, data, offs(i), offs(i + 1)))
         i += 1
       }
     } else {
       val dec = EvalCaches.decoder(codec, header)
       var i = 0
       while (i < rowCount) {
-        if (TokenMatch.eval(mode, partsArr, dec.decode(data, offs(i), offs(i + 1))))
-          out += docIds.getUTF8String(i)
+        nextId(TokenMatch.eval(mode, partsArr, dec.decode(data, offs(i), offs(i + 1))))
         i += 1
       }
     }
@@ -218,6 +221,33 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
     copy(children = cs)
+}
+
+/** unpack_ids(doc_ids, row_count) → array<string>: per-row doc ids from the
+  * packed binary (used by the per-document encoded view).
+  */
+case class UnpackIds(packed: Expression, rowCount: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = packed
+  override def right: Expression = rowCount
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unpack_ids"
+  override protected def nullSafeEval(p: Any, n: Any): Any = {
+    val bytes = p.asInstanceOf[Array[Byte]]
+    val rows = n.asInstanceOf[Int]
+    val r = new graft.core.ByteReader(bytes, 0, bytes.length)
+    val out = new Array[Any](rows)
+    var i = 0
+    while (i < rows) {
+      val len = r.readVarUInt()
+      out(i) = UTF8String.fromBytes(bytes, r.pos, len)
+      r.pos += len
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(packed = l, rowCount = r)
 }
 
 /** row_slices(data, offsets, row_count) → array<binary>: per-row encoded

@@ -110,13 +110,12 @@ object Graft {
     */
   def encodedRows(chunks: DataFrame): DataFrame = {
     chunks
-      .select(col("codec"), col("symtab"),
+      .select(col("codec"), col("symtab"), col("source"),
         explode(arrays_zip(
-          col("doc_ids").as("doc_id"),
-          col("sources").as("source"),
+          mkCol(UnpackIds(col2expr(col("doc_ids")), col2expr(col("row_count")))).as("doc_id"),
           mkCol(RowSlices(col2expr(col("data")), col2expr(col("offsets")), col2expr(col("row_count")))).as("enc")
         )).as("z"))
-      .select(col("z.doc_id").as("doc_id"), col("z.source").as("source"),
+      .select(col("z.doc_id").as("doc_id"), col("source"),
         col("z.enc").as("enc"), col("symtab"), col("codec"))
       .withColumn("tokens", decodeRow(col("enc"), col("symtab"), col("codec")))
   }
