@@ -103,8 +103,12 @@ object Bench {
       }
     }
     def measure(cpus: Int): Double = levelTimes(cpus)
-    def bestRoundEff(hi: Int, lo: Int): Double =
-      roundTimes.map(r => (r(lo) / r(hi)) / 4.0).max
+    // median of per-round paired ratios: robust to a noise spike inside one
+    // round without over-reporting (a best-of can exceed 1.0 on noise)
+    def medianRoundEff(hi: Int, lo: Int): Double = {
+      val sorted = roundTimes.map(r => (r(lo) / r(hi)) / 4.0).sorted
+      sorted(sorted.length / 2)
+    }
     // ---- part 3: the reference's headline comparison (raw vs compressed
     // LIKE scan, /root/reference/src/BenchmarkDriver.cpp:81-83): contains-
     // pattern over the synthetic corpus via (a) raw token arrays, (b) full
@@ -161,8 +165,8 @@ object Bench {
     val t2 = measure(2)
 
     val thr = (t: Double) => toks / t
-    val eff8to32 = bestRoundEff(32, 8)
-    val eff2to8 = bestRoundEff(8, 2)
+    val eff8to32 = medianRoundEff(32, 8)
+    val eff2to8 = medianRoundEff(8, 2)
     val bytesPerToken = bytes.toDouble / toks
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")

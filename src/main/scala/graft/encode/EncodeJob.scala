@@ -57,11 +57,25 @@ object EncodeJob {
       .as[(Int, TokenRow)]
   }
 
-  /** Pure encode: token rows → encoded chunks (no I/O). */
+  /** Pure encode: token rows → encoded chunks (no I/O).
+    * The reduce side walks InternalRows directly (values copied on
+    * extraction) — the object-Encoder deserializer measurably taxed the
+    * per-row path; semantics are identical to `plan(...)` + ChunkIterator.
+    */
   def encode(ds: Dataset[TokenRow], opts: EncodeOptions = EncodeOptions()): Dataset[EncodedChunk] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    plan(ds, opts).mapPartitions { it => new ChunkIterator(it, opts) }
+    val df = withBucket(ds.toDF(), opts)
+      .repartition(opts.numBuckets, col("__bucket"))
+      .select(col("__bucket"), col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+    val rdd = org.apache.spark.sql.GraftBridge.toInternalRdd(df).mapPartitions { it =>
+      val typed = it.map { r =>
+        (r.getInt(0), TokenRow(r.getUTF8String(1).toString,
+          r.getArray(2).toIntArray(), r.getInt(3), r.getUTF8String(4).toString))
+      }
+      new ChunkIterator(typed, opts)
+    }
+    spark.createDataset(rdd)
   }
 
   /** Decode every chunk back to token rows (bit-identical invariant). */
