@@ -33,6 +33,29 @@ private[query] object EvalCaches {
         override def removeEldestEntry(e: java.util.Map.Entry[(String, Int), (Array[Byte], RowDecoder)]) = size > 32
       }
   }
+  private val dicts = new ThreadLocal[java.util.LinkedHashMap[Int, (Array[Byte], Array[Int])]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[Int, (Array[Byte], Array[Int])](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[Int, (Array[Byte], Array[Int])]) = size > 32
+      }
+  }
+  /** Sorted dictionary values from a dict-codec header. */
+  def dict(header: Array[Byte]): Array[Int] = {
+    val key = java.util.Arrays.hashCode(header)
+    val c = dicts.get()
+    val hit = c.get(key)
+    if (hit != null && java.util.Arrays.equals(hit._1, header)) hit._2
+    else {
+      val r = new ByteReader(header, 0, header.length)
+      val card = r.readVarUInt()
+      val d = new Array[Int](card)
+      var i = 0
+      while (i < card) { d(i) = r.readZigZag(); i += 1 }
+      c.put(key, (header, d))
+      d
+    }
+  }
+
   def decoder(codec: String, header: Array[Byte]): RowDecoder = {
     val key = (codec, java.util.Arrays.hashCode(header))
     val c = decoders.get()
@@ -210,6 +233,18 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
         i += 1
       }
     } else {
+      // dict chunks: exact membership gate (stronger than the bloom, which
+      // saturates on high-cardinality chunks) — a pattern token outside the
+      // dictionary proves the chunk matchless
+      if (codec == DictCodec.name) {
+        val dict = EvalCaches.dict(header)
+        var t = 0
+        while (t < neededTokens.length) {
+          if (java.util.Arrays.binarySearch(dict, neededTokens(t)) < 0)
+            return new GenericArrayData(Array.empty[Any])
+          t += 1
+        }
+      }
       val dec = EvalCaches.decoder(codec, header)
       var i = 0
       while (i < rowCount) {

@@ -137,4 +137,14 @@ class CodecSpec extends AnyFunSuite {
     val phrasey = zipfRows(9, 300, 2000000)
     assert(pick(phrasey) == "fsst")
   }
+
+  test("packed doc ids round-trip (ascii + unicode + empty)") {
+    import graft.format.PackedIds
+    val ids = Array("doc-0001", "", "ünïcödé-🚀", "a" * 300, "12345")
+    val packed = PackedIds.pack(ids)
+    assert(PackedIds.unpackAll(packed, ids.length).toSeq == ids.toSeq)
+    checkProp(Prop.forAll(Gen.listOf(Gen.asciiPrintableStr)) { l =>
+      PackedIds.unpackAll(PackedIds.pack(l.toArray), l.length).toSeq == l
+    })
+  }
 }

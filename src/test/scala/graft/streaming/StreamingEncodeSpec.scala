@@ -41,4 +41,38 @@ class StreamingEncodeSpec extends AnyFunSuite {
     assert(manifest.count() > 0)
     assert(manifest.filter(col("status") === "committed").count() == manifest.count())
   }
+
+  test("streaming restart resumes from checkpoint without duplicating batches") {
+    import spark.implicits._
+    val (input, _) = Tokenize.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_restart").toString
+    input.repartition(3).write.parquet(s"$dir/in")
+    def mkStream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in").as[TokenRow]
+    val io = new ParquetTableIO(s"$dir/table")
+    // first run: die on the second micro-batch AFTER batch 0 committed
+    val failing = new graft.encode.TableIO {
+      var batches = 0
+      def appendChunks(c: org.apache.spark.sql.Dataset[graft.format.EncodedChunk]): Unit = {
+        if (batches >= 1) throw new RuntimeException("simulated stream crash")
+        io.appendChunks(c)
+      }
+      def appendManifest(r: org.apache.spark.sql.DataFrame): Unit = { io.appendManifest(r); batches += 1 }
+      def readChunks(s: SparkSession) = io.readChunks(s)
+      def readManifest(s: SparkSession) = io.readManifest(s)
+    }
+    val q1 = StreamingEncode.start(mkStream, failing, "s1", s"$dir/ckpt")
+    intercept[Exception] { q1.awaitTermination() }
+    val afterCrash = EncodeJob.decode(io.readChunks(spark)).count()
+    assert(afterCrash > 0 && afterCrash < input.count(), s"partial expected, got $afterCrash")
+    // restart with the same checkpoint: only unprocessed batches run
+    val q2 = StreamingEncode.start(mkStream, io, "s1", s"$dir/ckpt")
+    q2.awaitTermination(120000)
+    val decoded = EncodeJob.decode(io.readChunks(spark))
+    assert(decoded.count() == input.count(), "restart must complete exactly once")
+    assert(decoded.select("doc_id").distinct().count() == input.count(), "no duplicates")
+    val bad = decoded.toDF().alias("d").join(input.toDF().alias("i"), Seq("doc_id"))
+      .filter(not(col("d.tokens") <=> col("i.tokens"))).count()
+    assert(bad == 0)
+  }
 }
