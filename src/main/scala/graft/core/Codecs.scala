@@ -108,7 +108,7 @@ object DictCodec extends ChunkCodec {
     w.toBytes
   }
 
-  private def readDict(header: Array[Byte]): Array[Int] = {
+  private[graft] def readDict(header: Array[Byte]): Array[Int] = {
     val r = new ByteReader(header, 0, header.length)
     val card = r.readVarUInt()
     val dict = new Array[Int](card)

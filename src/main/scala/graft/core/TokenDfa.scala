@@ -22,10 +22,30 @@ final class TokenDfa(val pattern: Array[Int]) extends Serializable {
     p
   }
 
+  /** ZeroKMP property (/root/reference/src/StateMachine.hpp:23-30): when the
+    * failure function is trivial (all pi = 0 — the common case for token
+    * patterns, which rarely self-overlap), a mismatch restarts at 0/1 with no
+    * fallback loop.
+    */
+  val isZero: Boolean = {
+    var z = true
+    var i = 1
+    while (z && i < m) { z = pi(i) == 0; i += 1 }
+    z
+  }
+
   def step(state: Int, tok: Int): Int = {
-    var s = if (state == m && m > 0) pi(m - 1) else state
-    while (s > 0 && pattern(s) != tok) s = pi(s - 1)
-    if (m > 0 && pattern(s) == tok) s + 1 else 0
+    if (m == 0) return 0
+    if (isZero) {
+      val s = if (state == m) 0 else state
+      if (pattern(s) == tok) s + 1
+      else if (s != 0 && pattern(0) == tok) 1
+      else 0
+    } else {
+      var s = if (state == m) pi(m - 1) else state
+      while (s > 0 && pattern(s) != tok) s = pi(s - 1)
+      if (pattern(s) == tok) s + 1 else 0
+    }
   }
 }
 

@@ -9,64 +9,44 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Small per-thread caches so per-row expression eval amortizes header
-  * parsing and DFA construction across the rows of a chunk (the reference
-  * amortizes per 64Ki-row block: /root/reference/src/algos/Comet.hpp:26-38).
+/** Per-thread bounded cache keyed by header bytes (hash + content check —
+  * a hash collision must never return another header's artifact). One cache
+  * per artifact kind so per-row expression eval amortizes header parsing and
+  * DFA construction across a chunk's rows (the reference amortizes per
+  * 64Ki-row block: /root/reference/src/algos/Comet.hpp:26-38).
   */
-private[query] object EvalCaches {
-  private val symtabs = new ThreadLocal[java.util.LinkedHashMap[Int, (Array[Byte], SymTab)]] {
+private[query] final class HeaderCache[V](build: Array[Byte] => V, max: Int = 32) {
+  private val tl = new ThreadLocal[java.util.LinkedHashMap[Int, (Array[Byte], V)]] {
     override def initialValue() =
-      new java.util.LinkedHashMap[Int, (Array[Byte], SymTab)](64, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[Int, (Array[Byte], SymTab)]) = size > 32
+      new java.util.LinkedHashMap[Int, (Array[Byte], V)](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[Int, (Array[Byte], V)]) = size > max
       }
   }
-  def symtab(header: Array[Byte]): SymTab = {
+  def get(header: Array[Byte]): V = {
     val key = java.util.Arrays.hashCode(header)
-    val c = symtabs.get()
-    val hit = c.get(key)
-    if (hit != null && java.util.Arrays.equals(hit._1, header)) hit._2
-    else { val st = SymTab.fromBytes(header); c.put(key, (header, st)); st }
-  }
-  private val decoders = new ThreadLocal[java.util.LinkedHashMap[(String, Int), (Array[Byte], RowDecoder)]] {
-    override def initialValue() =
-      new java.util.LinkedHashMap[(String, Int), (Array[Byte], RowDecoder)](64, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[(String, Int), (Array[Byte], RowDecoder)]) = size > 32
-      }
-  }
-  private val dicts = new ThreadLocal[java.util.LinkedHashMap[Int, (Array[Byte], Array[Int])]] {
-    override def initialValue() =
-      new java.util.LinkedHashMap[Int, (Array[Byte], Array[Int])](64, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[Int, (Array[Byte], Array[Int])]) = size > 32
-      }
-  }
-  /** Sorted dictionary values from a dict-codec header. */
-  def dict(header: Array[Byte]): Array[Int] = {
-    val key = java.util.Arrays.hashCode(header)
-    val c = dicts.get()
+    val c = tl.get()
     val hit = c.get(key)
     if (hit != null && java.util.Arrays.equals(hit._1, header)) hit._2
     else {
-      val r = new ByteReader(header, 0, header.length)
-      val card = r.readVarUInt()
-      val d = new Array[Int](card)
-      var i = 0
-      while (i < card) { d(i) = r.readZigZag(); i += 1 }
-      c.put(key, (header, d))
-      d
+      val v = build(header)
+      c.put(key, (header, v))
+      v
     }
   }
+}
 
-  def decoder(codec: String, header: Array[Byte]): RowDecoder = {
-    val key = (codec, java.util.Arrays.hashCode(header))
-    val c = decoders.get()
-    val hit = c.get(key)
-    if (hit != null && java.util.Arrays.equals(hit._1, header)) hit._2
-    else {
-      val d = Codecs.byName(codec).decoder(header)
-      c.put(key, (header, d))
-      d
-    }
-  }
+private[query] object EvalCaches {
+  private val symtabs = new HeaderCache[SymTab](SymTab.fromBytes)
+  private val dicts = new HeaderCache[Array[Int]](DictCodec.readDict)
+  private val decodersByCodec =
+    scala.collection.concurrent.TrieMap.empty[String, HeaderCache[RowDecoder]]
+
+  def symtab(header: Array[Byte]): SymTab = symtabs.get(header)
+  /** Sorted dictionary values from a dict-codec header. */
+  def dict(header: Array[Byte]): Array[Int] = dicts.get(header)
+  def decoder(codec: String, header: Array[Byte]): RowDecoder =
+    decodersByCodec.getOrElseUpdate(codec,
+      new HeaderCache[RowDecoder](Codecs.byName(codec).decoder)).get(header)
 }
 
 /** decode_row(enc, header, codec) → array<int>: decodes one encoded row.
