@@ -84,7 +84,7 @@ object Bench {
     // same conditions — and the best (least-contended) round is reported.
     def measureAllLevels(): Unit = {
       var firstRound = true
-      for (round <- 1 to 3) {
+      for (round <- 1 to 5) {
         val thisRound = scala.collection.mutable.Map.empty[Int, Double]
         for (cpus <- Seq(32, 8, 2)) {
           val s = session(cpus)
