@@ -53,8 +53,11 @@ object Bench {
     var spark = session(cpus.toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      }
+      // -1 marks a failed query; a silent catch would disguise regressions
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // ---- part 2: encode throughput at two parallelism levels ---------

@@ -35,7 +35,9 @@ final class ByteWriter(initialCapacity: Int = 4096) {
     ensure(n); System.arraycopy(src, from, buf, len, n); len += n
   }
 
-  /** Unsigned LEB128. Only call with v >= 0. */
+  /** LEB128 over the raw 32-bit pattern (handles any bit pattern; callers
+    * that mean "count" pass non-negative values).
+    */
   def writeVarUInt(v: Int): Unit = {
     ensure(5)
     var u = v
@@ -44,15 +46,7 @@ final class ByteWriter(initialCapacity: Int = 4096) {
   }
 
   /** ZigZag + LEB128: round-trips any Int32 (negative tokens included). */
-  def writeZigZag(v: Int): Unit = writeVarUInt0((v << 1) ^ (v >> 31))
-
-  // LEB128 over the raw 32-bit pattern (value may have high bit set).
-  private def writeVarUInt0(v: Int): Unit = {
-    ensure(5)
-    var u = v
-    while ((u & ~0x7f) != 0) { buf(len) = ((u & 0x7f) | 0x80).toByte; len += 1; u >>>= 7 }
-    buf(len) = u.toByte; len += 1
-  }
+  def writeZigZag(v: Int): Unit = writeVarUInt((v << 1) ^ (v >> 31))
 
   def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
 }

@@ -119,7 +119,7 @@ object DictCodec extends ChunkCodec {
 
   def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
     private val dict = readDict(header)
-    private val width = BitPack.bitsFor(dict.length - 1)
+    private val width = BitPack.bitsFor(math.max(dict.length - 1, 0))
     private val idx = {
       val m = mutable.LongMap.empty[Int]
       var i = 0
@@ -134,7 +134,7 @@ object DictCodec extends ChunkCodec {
 
   def decoder(header: Array[Byte]): RowDecoder = new RowDecoder {
     private val dict = readDict(header)
-    private val width = BitPack.bitsFor(dict.length - 1)
+    private val width = BitPack.bitsFor(math.max(dict.length - 1, 0))
     def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] = {
       val r = new ByteReader(bytes, from, to)
       val n = r.readVarUInt()

@@ -154,12 +154,33 @@ object PatternMachine {
         override def removeEldestEntry(e: java.util.Map.Entry[(Long, Int), PatternMachine]) = size > 32
       }
   }
-  /** patternId must uniquely identify `parts` within the calling expression. */
+  private def sameParts(a: Array[Array[Int]], b: Array[Array[Int]]): Boolean =
+    a.length == b.length && {
+      var i = 0
+      var eq = true
+      while (eq && i < a.length) { eq = java.util.Arrays.equals(a(i), b(i)); i += 1 }
+      eq
+    }
+  private def sameTable(a: SymTab, b: SymTab): Boolean =
+    (a eq b) || (a.nSymbols == b.nSymbols && {
+      var c = 0
+      var eq = true
+      while (eq && c < a.nSymbols) { eq = java.util.Arrays.equals(a.symbol(c), b.symbol(c)); c += 1 }
+      eq
+    })
+
+  /** Cached per (symtab contentHash, expression identity) with a CONTENT
+    * check on hit — a hash/identity collision must never hand back a machine
+    * built for a different pattern or table (silent wrong matches).
+    */
   def forTable(st: SymTab, patternId: Int, parts: Array[Array[Int]]): PatternMachine = {
     val key = (st.contentHash, patternId)
     val c = cache.get()
     var pm = c.get(key)
-    if (pm == null) { pm = new PatternMachine(parts, st); c.put(key, pm) }
+    if (pm == null || !sameParts(pm.parts, parts) || !sameTable(pm.st, st)) {
+      pm = new PatternMachine(parts, st)
+      c.put(key, pm)
+    }
     pm
   }
 }

@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *   `saltBuckets` buckets → no straggler task at 100 TB;
   * - bucket ids are a pure function of the row → reruns assign identical
   *   buckets, which is what makes manifest-based resume exact.
-  * Within a partition rows are locally sorted by (source, n_tok, doc_id) —
-  * no extra shuffle — so each chunk sees one distribution and the output is
-  * deterministic.
+  * Chunks never span (bucket, source) groups and rows inside a chunk are
+  * sorted by (n_tok, doc_id); chunk MEMBERSHIP follows shuffle arrival
+  * order, which the decode-equals-input invariant does not depend on.
   */
 final case class EncodeOptions(
     numBuckets: Int = 32,
@@ -98,12 +98,6 @@ object EncodeJob {
   }
 }
 
-/** Drains one shuffle partition, groups rows by (bucket, source), orders each
-  * group by (n_tok, doc_id), and emits chunks per group honoring row/token
-  * limits. Chunks never span buckets (resume stays per-bucket) or sources
-  * (one chunk = one token distribution), and output is deterministic for a
-  * given input regardless of shuffle arrival order.
-  */
 /** Single-pass chunking with one OPEN accumulator per (bucket, source) group:
   * a chunk is emitted the moment its group hits the row/token limit, so live
   * memory per task is bounded by (groups-per-partition × maxTokensPerChunk) —

@@ -17,6 +17,10 @@ trait TableIO {
   def appendManifest(rows: DataFrame): Unit
   def readChunks(spark: SparkSession): Dataset[EncodedChunk]
   def readManifest(spark: SparkSession): Option[DataFrame]
+  /** Drop any chunk files of the given (uncommitted) buckets; see
+    * ParquetTableIO.dropBuckets. No-op unless implemented.
+    */
+  def dropBuckets(spark: SparkSession, buckets: Seq[Int]): Unit = {}
 }
 
 final class ParquetTableIO(root: String) extends TableIO {
@@ -24,7 +28,24 @@ final class ParquetTableIO(root: String) extends TableIO {
   private val manifestDir = s"$root/manifest"
 
   def appendChunks(chunks: Dataset[EncodedChunk]): Unit =
-    chunks.write.mode(SaveMode.Append).parquet(chunksDir)
+    chunks.write.mode(SaveMode.Append).partitionBy("part_id").parquet(chunksDir)
+
+  /** Remove chunk files of buckets that were written but never reached the
+    * manifest (a crash between the chunk append and the manifest append) —
+    * called by ResumableEncode before re-encoding those buckets so a rerun
+    * cannot duplicate rows. partitionBy("part_id") gives each bucket its own
+    * directory, making this cleanup exact. With Iceberg, the snapshot commit
+    * makes chunk+manifest atomic and this step disappears.
+    */
+  override def dropBuckets(spark: SparkSession, buckets: Seq[Int]): Unit = {
+    val base = new org.apache.hadoop.fs.Path(chunksDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    buckets.foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(base, s"part_id=$b")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+  }
 
   def appendManifest(rows: DataFrame): Unit =
     rows.write.mode(SaveMode.Append).parquet(manifestDir)
@@ -43,9 +64,13 @@ final class ParquetTableIO(root: String) extends TableIO {
 
 /** Resumable encode: buckets are committed to the manifest in `waves`
   * (bucket % waves); a rerun of the same (input, options, run_id) skips every
-  * bucket the manifest already records and produces byte-identical chunks for
-  * the rest (bucket assignment and in-partition order are deterministic —
-  * see EncodeJob.plan).
+  * bucket the manifest already records, drops any orphan chunk files of
+  * uncommitted buckets (crash window between chunk append and manifest
+  * append), and re-encodes only the rest. Bucket assignment is a pure
+  * function of row content, so the decoded table always equals the input
+  * exactly once per row; chunk boundaries within a re-encoded bucket may
+  * legally differ across cluster runs (shuffle arrival order — the decode
+  * invariant does not depend on them).
   */
 object ResumableEncode {
 
@@ -67,6 +92,7 @@ object ResumableEncode {
       val todo = waveBuckets.filterNot(doneBuckets)
       if (todo.nonEmpty) {
         val todoSet = todo.toSet
+        io.dropBuckets(spark, todo) // clear orphans from a crashed prior attempt
         val bucketed = EncodeJob.withBucket(input.toDF(), opts)
           .filter(col("__bucket").isin(todoSet.toSeq.map(Integer.valueOf): _*))
           .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))

@@ -15,6 +15,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * The reference has no streaming surface (SURVEY.md §2.3); this is the
   * Spark-native extension point for continuous training-data ingestion.
+  *
+  * Delivery semantics: batch replay after a crash is detected via the
+  * manifest (a batch whose manifest rows exist is skipped), so the only
+  * duplication window is a crash BETWEEN the chunk append and the manifest
+  * append of one batch. Closing that window needs a transactional table
+  * commit (the Iceberg swap point documented on TableIO); with plain
+  * Parquet the sink is at-least-once within that window.
   */
 object StreamingEncode {
 
@@ -29,19 +36,31 @@ object StreamingEncode {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[TokenRow], batchId: Long) =>
         val spark = batch.sparkSession
-        val chunks = EncodeJob.encode(batch, opts)
-        io.appendChunks(chunks)
-        val written = io.readChunks(spark).toDF()
-          .groupBy(col("part_id"))
-          .agg(count(lit(1)).as("n_chunks"), sum(col("row_count")).as("rows"),
-            sum(col("n_tokens")).as("tokens"),
-            sum(length(col("data")) + length(col("symtab")) + length(col("offsets"))).as("bytes"))
-          .collect()
-        val now = System.currentTimeMillis()
-        val rows = written.toSeq.map(r => ManifestRow(
-          s"$runId-batch-$batchId", batchId.toInt, r.getInt(0), "committed",
-          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), now))
-        if (rows.nonEmpty) io.appendManifest(spark.createDataFrame(rows))
+        val batchRunId = s"$runId-batch-$batchId"
+        // idempotence on replay: a batch whose manifest rows are already
+        // committed is skipped wholesale (crash after manifest but before
+        // the streaming checkpoint replays the batch)
+        val alreadyCommitted = io.readManifest(spark).exists(
+          _.filter(col("run_id") === batchRunId).limit(1).count() > 0)
+        if (!alreadyCommitted) {
+          val chunks = EncodeJob.encode(batch, opts).cache()
+          try {
+            io.appendChunks(chunks)
+            // metrics of THIS batch's chunks only (aggregating the whole
+            // table would cumulate prior batches into every manifest row)
+            val written = chunks.toDF()
+              .groupBy(col("part_id"))
+              .agg(count(lit(1)).as("n_chunks"), sum(col("row_count")).as("rows"),
+                sum(col("n_tokens")).as("tokens"),
+                sum(length(col("data")) + length(col("symtab")) + length(col("offsets"))).as("bytes"))
+              .collect()
+            val now = System.currentTimeMillis()
+            val rows = written.toSeq.map(r => ManifestRow(
+              batchRunId, batchId.toInt, r.getInt(0), "committed",
+              r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), now))
+            if (rows.nonEmpty) io.appendManifest(spark.createDataFrame(rows))
+          } finally chunks.unpersist()
+        }
         ()
       }
       .start()

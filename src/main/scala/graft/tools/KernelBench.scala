@@ -28,14 +28,6 @@ object KernelBench {
       t0 = System.nanoTime()
       rs.foreach(enc.encode(_, out))
       val tEnc = (System.nanoTime() - t0) / 1e9
-      val dec = choice.codec.decoder(header)
-      val offs = { // recompute offsets
-        val o = new Array[Int](rs.length + 1)
-        val w = new ByteWriter(1 << 20)
-        var i = 0
-        while (i < rs.length) { enc.encode(rs(i), w); i += 1 }
-        o // unused; decode timing below uses single blob re-encode
-      }
       println(f"$src%8s rows=${rs.length}%6d toks=$totalToks%9d codec=${choice.codec.name}%7s " +
         f"B/tok=${out.size.toDouble / totalToks}%.3f statsMtok/s=${totalToks / 1e6 / tStats}%7.1f " +
         f"selSec=$tSel%.2f trainSec=$tTrain%.2f encMtok/s=${totalToks / 1e6 / tEnc}%7.1f")

@@ -99,6 +99,34 @@ class EncodeSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("resume drops orphan chunks from a crash between chunk append and manifest append") {
+    import spark.implicits._
+    val (input, _) = Tokenize.documents(spark, sf)
+    val opts = EncodeOptions(numBuckets = 6, maxRowsPerChunk = 32,
+      maxTokensPerChunk = 8192, waves = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_orphan").toString
+    val io = new ParquetTableIO(s"$dir/t")
+    // crash exactly in the window: chunks of wave 0 land, manifest does not
+    val crashing = new TableIO {
+      def appendChunks(c: org.apache.spark.sql.Dataset[EncodedChunk]): Unit = io.appendChunks(c)
+      def appendManifest(r: org.apache.spark.sql.DataFrame): Unit =
+        throw new RuntimeException("simulated kill before manifest commit")
+      def readChunks(s: SparkSession) = io.readChunks(s)
+      def readManifest(s: SparkSession) = io.readManifest(s)
+      override def dropBuckets(s: SparkSession, b: Seq[Int]): Unit = io.dropBuckets(s, b)
+    }
+    intercept[RuntimeException] { ResumableEncode.run(spark, input, crashing, "runX", opts) }
+    assert(io.readChunks(spark).count() > 0, "orphan chunks expected after crash")
+    assert(io.readManifest(spark).isEmpty, "no manifest rows expected after crash")
+    // resume: orphans must be dropped before re-encode — no duplicates
+    ResumableEncode.run(spark, input, io, "runX", opts)
+    val decoded = EncodeJob.decode(io.readChunks(spark))
+    assert(decoded.count() == input.count(), "orphans must not duplicate rows")
+    val bad = decoded.toDF().alias("d").join(input.toDF().alias("i"), Seq("doc_id"), "full_outer")
+      .filter(not(col("d.tokens") <=> col("i.tokens"))).count()
+    assert(bad == 0)
+  }
+
   test("derived token tables cover dict/rle/for codecs end-to-end") {
     val qty = Tokenize.lineitemQuantities(spark, sf)
     val chunksQ = EncodeJob.encode(qty, EncodeOptions(numBuckets = 2)).cache()
