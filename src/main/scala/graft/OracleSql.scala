@@ -1,0 +1,210 @@
+package graft
+
+import graft.pipeline.Hashing
+
+/** DuckDB oracle-SQL generators for the hash-based pipeline queries.
+  *
+  * The dedup/fingerprint/LSH operators are seed-deterministic (splitmix64),
+  * so their results are exactly reproducible by plain SQL: splitmix64 is
+  * re-expressed over UBIGINT with HUGEINT-split multiplication (verified
+  * against the Scala implementation on 2000 random inputs), and the LSH
+  * hyperplane signs — pure constants of (seed, table, bit, dim) — are
+  * precomputed HERE with the same `Hashing.mix64` the Catalyst expressions
+  * use and embedded as literal bitmasks. The oracle therefore checks the
+  * full pipeline (tokenize → hash → band → join → confirm) independently.
+  */
+object OracleSql {
+
+  private val M64 = BigInt(1) << 64
+  private val C1 = BigInt("9e3779b97f4a7c15", 16)
+  private val C2 = BigInt("bf58476d1ce4e5b9", 16)
+  private val C3 = BigInt("94d049bb133111eb", 16)
+  private val FNV = BigInt("cbf29ce484222325", 16)
+
+  /** (z * c) mod 2^64 over UBIGINT column `z`, via 32-bit split so every
+    * intermediate fits HUGEINT: z*c ≡ zl*c + zh*((c<<32) mod 2^64).
+    */
+  private def mulmod(z: String, c: BigInt): String = {
+    val c32 = (c << 32) mod M64
+    s"CAST(((CAST($z % 4294967296 AS HUGEINT) * $c) % $M64 + " +
+      s"(CAST($z // 4294967296 AS HUGEINT) * $c32) % $M64) % $M64 AS UBIGINT)"
+  }
+
+  /** Chained CTEs computing z = splitmix64(zCol), carrying `keep` columns.
+    * MATERIALIZED stages bound expression-tree growth when chains compose.
+    * Returns (cteText, lastCteName); the output column is `z`.
+    */
+  private def mix64Ctes(name: String, from: String, keep: Seq[String], zCol: String): (String, String) = {
+    val k = if (keep.isEmpty) "" else keep.mkString("", ", ", ", ")
+    val sql =
+      s"""${name}_1 AS MATERIALIZED (SELECT ${k}CAST((CAST($zCol AS HUGEINT) + $C1) % $M64 AS UBIGINT) AS z FROM $from),
+         |${name}_2 AS (SELECT ${k}xor(z, z >> 30) AS z FROM ${name}_1),
+         |${name}_3 AS MATERIALIZED (SELECT $k${mulmod("z", C2)} AS z FROM ${name}_2),
+         |${name}_4 AS (SELECT ${k}xor(z, z >> 27) AS z FROM ${name}_3),
+         |${name}_5 AS MATERIALIZED (SELECT $k${mulmod("z", C3)} AS z FROM ${name}_4),
+         |${name}_6 AS (SELECT ${k}xor(z, z >> 31) AS z FROM ${name}_5)""".stripMargin
+    (sql, s"${name}_6")
+  }
+
+  /** Shared tokenization CTEs reproducing `Tokenize.documents`: non-empty
+    * whitespace words, exact sorted-distinct vocabulary ids, 1-based
+    * positions. Exposes __tok(doc_id, i, tok).
+    */
+  private val tokenizeCtes: String =
+    """__w AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |__vocab AS MATERIALIZED (
+      |  SELECT w, row_number() OVER (ORDER BY w) - 1 AS id
+      |  FROM (SELECT DISTINCT unnest(ws) AS w FROM __w)),
+      |__tokw AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS i FROM __w),
+      |__tok AS MATERIALIZED (
+      |  SELECT t.doc_id, t.i, v.id AS tok FROM __tokw t JOIN __vocab v ON v.w = t.w)""".stripMargin
+
+  /** SimHash near-dup pairs (Dedup.simhashPairs semantics): unigram
+    * splitmix64 → 64-bit majority signature → 4×16-bit band buckets →
+    * exact Hamming ≤ maxHamming.
+    */
+  def simhashSql(maxHamming: Int = 3): String = {
+    val (m1, last) = mix64Ctes("__sh", "__tok", Seq("doc_id"), "CAST(tok AS UBIGINT)")
+    s"""WITH $tokenizeCtes,
+       |$m1,
+       |__bits AS MATERIALIZED (
+       |  SELECT doc_id, CAST(b.range AS INT) AS b,
+       |         sum(CASE WHEN (z >> CAST(b.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+       |  FROM $last, range(64) b GROUP BY 1, 2),
+       |__sig0 AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS UBIGINT) AS sig
+       |  FROM __bits GROUP BY 1),
+       |__sig AS MATERIALIZED (
+       |  SELECT d.doc_id, COALESCE(s.sig, 0::UBIGINT) AS sig
+       |  FROM documents d LEFT JOIN __sig0 s ON d.doc_id = s.doc_id),
+       |__banded AS (
+       |  SELECT doc_id, sig, b4.range AS band, (sig >> CAST(b4.range * 16 AS INT)) & 65535 AS bh
+       |  FROM __sig, range(4) b4),
+       |__cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+       |  FROM __banded a JOIN __banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       |       CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM __cand WHERE bit_count(xor(sa, sb)) <= $maxHamming""".stripMargin
+  }
+
+  /** Winnowing fingerprint pairs (TextAnalysis.fingerprintPairs semantics):
+    * k-gram chained splitmix64 hashes, unsigned minimum per window of w,
+    * distinct per doc, pairs sharing ≥ minShared values.
+    */
+  def fingerprintSql(k: Int = 5, w: Int = 4, minShared: Int = 2): String = {
+    val ctes = new StringBuilder(tokenizeCtes)
+    ctes ++= s""",
+      |__a0 AS (SELECT doc_id, i, xor($FNV::UBIGINT, CAST(tok AS UBIGINT)) AS z FROM __tok),
+      |""".stripMargin
+    var (m, last) = mix64Ctes("__c0", "__a0", Seq("doc_id", "i"), "z")
+    ctes ++= m
+    for (j <- 1 until k) {
+      ctes ++= s""",
+        |__a$j AS (SELECT p.doc_id, p.i, xor(p.z, CAST(t.tok AS UBIGINT)) AS z
+        |  FROM $last p JOIN __tok t ON t.doc_id = p.doc_id AND t.i = p.i + $j),
+        |""".stripMargin
+      val r = mix64Ctes(s"__c$j", s"__a$j", Seq("doc_id", "i"), "z")
+      ctes ++= r._1
+      last = r._2
+    }
+    s"""WITH ${ctes.result()},
+       |__kg AS MATERIALIZED (SELECT doc_id, i, z, count(*) OVER (PARTITION BY doc_id) AS m FROM $last),
+       |__win AS (
+       |  SELECT doc_id, min(z) OVER (PARTITION BY doc_id ORDER BY i
+       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS minh, i, m
+       |  FROM __kg),
+       |__fp AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, minh FROM __win WHERE i <= greatest(m - $w, 0) + 1)
+       |SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b, count(*) AS shared
+       |FROM __fp a JOIN __fp b ON a.minh = b.minh AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+  }
+
+  /** Hyperplane sign bitmasks for (seed, nTables, nBits) — the same
+    * constants `LshBuckets` derives per row, precomputed once and embedded
+    * as a VALUES literal.
+    */
+  private def hyperplaneValues(seed: Long, nBits: Int, nTables: Int, dims: Int): String = {
+    val rows = for (t <- 0 until nTables; b <- 0 until nBits) yield {
+      var mask = BigInt(0)
+      for (d <- 0 until dims)
+        if ((Hashing.mix64(seed + 1000L * t + b.toLong * 131071L + d) & 1L) == 1L)
+          mask = mask.setBit(d)
+      s"($t, $b, $mask::UBIGINT)"
+    }
+    rows.mkString(", ")
+  }
+
+  /** CTEs assigning every embedding its per-table LSH bucket. */
+  private def bucketCtes(seed: Long, nBits: Int, nTables: Int, dims: Int): String =
+    s"""__hp(t, b, mask) AS (VALUES ${hyperplaneValues(seed, nBits, nTables, dims)}),
+       |__dots AS MATERIALIZED (
+       |  SELECT e.vec_id, h.t, h.b,
+       |         sum(e.embedding[CAST(d.range AS INT) + 1] *
+       |             (CASE WHEN (h.mask >> CAST(d.range AS INT)) & 1 = 1 THEN 1.0 ELSE -1.0 END)) AS dot
+       |  FROM embeddings e, __hp h, range($dims) d GROUP BY 1, 2, 3),
+       |__bkt AS MATERIALIZED (
+       |  SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0::BIGINT END) AS bucket
+       |  FROM __dots GROUP BY 1, 2)""".stripMargin
+
+  /** LSH-blocked embedding near-dups (Dedup.embeddingNearDups semantics):
+    * candidates share a bucket in any table; exact-cosine confirm.
+    */
+  def embeddingNearDupsSql(tau: Double, nBits: Int, nTables: Int,
+                           seed: Long, dims: Int = 64): String =
+    s"""WITH ${bucketCtes(seed, nBits, nTables, dims)},
+       |__cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM __bkt a JOIN __bkt b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT c.vec_a, c.vec_b FROM __cand c
+       |JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |JOIN embeddings eb ON eb.vec_id = c.vec_b
+       |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= $tau""".stripMargin
+
+  /** ANN via multi-table LSH (Similarity.lshTopK semantics): candidates
+    * share a bucket with the query vector; exact top-k by cosine.
+    */
+  def annLshSql(queryId: Long, k: Int, nBits: Int, nTables: Int,
+                seed: Long, dims: Int = 64): String =
+    s"""WITH ${bucketCtes(seed, nBits, nTables, dims)},
+       |__qb AS (SELECT t, bucket FROM __bkt WHERE vec_id = $queryId),
+       |__cand AS (
+       |  SELECT DISTINCT b.vec_id FROM __bkt b JOIN __qb q ON b.t = q.t AND b.bucket = q.bucket
+       |  WHERE b.vec_id <> $queryId)
+       |SELECT c.vec_id FROM __cand c
+       |JOIN embeddings e ON e.vec_id = c.vec_id
+       |JOIN embeddings q ON q.vec_id = $queryId
+       |ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, c.vec_id
+       |LIMIT $k""".stripMargin
+
+  /** Language-ID prediction histogram (TextAnalysis.langId semantics):
+    * per-language stopword-profile scores, argmax with alphabetical-first
+    * tie-break, 'und' when no profile matches. Profiles are read from
+    * TextAnalysis.LangProfiles so the two sides cannot drift.
+    */
+  def langIdSql(): String = {
+    val profiles = graft.pipeline.TextAnalysis.LangProfiles.toSeq.sortBy(_._1)
+    val scoreCols = profiles.map { case (lang, words) =>
+      val lit = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"CAST(len(list_intersect(words, $lit)) AS DOUBLE) / greatest(CAST(len(words) AS DOUBLE), 1.0) AS s_$lang"
+    }.mkString(",\n    ")
+    val best = profiles.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val whens = profiles.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }.mkString("\n              ")
+    s"""WITH __lw AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS words
+       |  FROM documents),
+       |__ls AS (
+       |  SELECT doc_id,
+       |    $scoreCols
+       |  FROM __lw),
+       |__lp AS (
+       |  SELECT CASE WHEN $best <= 0.0 THEN 'und'
+       |              $whens
+       |              ELSE 'und' END AS pred
+       |  FROM __ls)
+       |SELECT pred, count(*) AS n FROM __lp GROUP BY pred""".stripMargin
+  }
+}

@@ -147,10 +147,16 @@ object PipelineQueries {
          |FROM g a JOIN g b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.grams, b.grams))
          |      >= 0.7 * len(list_distinct(list_concat(a.grams, b.grams)))""".stripMargin,
+    // LSH-blocked near-dups: the oracle recomputes the same seed-derived
+    // hyperplane buckets (OracleSql embeds the sign masks) and confirms by
+    // exact cosine — checking candidate generation AND confirmation.
     "q_embedding_near_dups" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a
-        | JOIN embeddings b ON a.vec_id < b.vec_id
-        | WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5""".stripMargin,
+      OracleSql.embeddingNearDupsSql(tau = 0.5, nBits = 8, nTables = 12, seed = 3L),
+    "q_ann_lsh" ->
+      OracleSql.annLshSql(queryId = 0L, k = 10, nBits = 4, nTables = 8, seed = 7L),
+    "q_dedup_simhash" -> OracleSql.simhashSql(maxHamming = 3),
+    "q_fingerprint_pairs" -> OracleSql.fingerprintSql(k = 5, w = 4, minShared = 2),
+    "q_lang_id" -> OracleSql.langIdSql(),
     "q_ann_brute_force" ->
       """SELECT b.vec_id FROM embeddings a, embeddings b
         | WHERE a.vec_id = 0 AND b.vec_id <> 0

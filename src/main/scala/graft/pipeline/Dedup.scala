@@ -22,22 +22,40 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
       .select(col("rep_doc_id"), col("n_dups"))
 
-  /** Exact n-gram Jaccard pairs above an intersection floor, blocked by a
-    * join key (the SQL-checkable baseline; LSH below is the scale path).
-    * Returns (doc_a, doc_b, inter_cnt, union_cnt).
+  /** Exact n-gram Jaccard pairs above an intersection floor, via an
+    * inverted index on shingle hashes: explode distinct grams → self-join on
+    * (gram, block key) → count shared grams per pair. Exactly equivalent to
+    * the all-pairs `size(array_intersect(...))` formulation (grams are
+    * distinct within a doc, so each shared gram contributes 1), but the only
+    * join key is the gram value — cost scales with Σ(posting-list size²)
+    * per gram, not with block size². Returns (doc_a, doc_b, inter_cnt,
+    * union_cnt) with union = |A| + |B| − inter.
+    *
+    * Scale note (100 TB): the skew surface is a hot gram appearing in many
+    * documents of one block. Stopword-like grams should be dropped by a
+    * document-frequency cap (count grams, anti-join the top) — a lossy-only-
+    * for-hot-grams tradeoff every web-scale dedup makes. Not applied here
+    * because the shipped query is held to an exact SQL oracle.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minInter: Int,
                         blockKey: String = "source"): DataFrame = {
     val g = docs.filter(col("n_tok") >= n)
       .select(col("doc_id"), col(blockKey).as("__bk"),
         shingleHashes(col("tokens"), n).as("grams"))
-    val a = g.alias("a")
-    val b = g.alias("b")
-    a.join(b, col("a.__bk") === col("b.__bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        size(array_intersect(col("a.grams"), col("b.grams"))).as("inter_cnt"),
-        size(array_union(col("a.grams"), col("b.grams"))).as("union_cnt"))
-      .filter(col("inter_cnt") >= minInter)
+      .withColumn("n_grams", size(col("grams")))
+    val inv = g.select(col("doc_id"), col("__bk"), col("n_grams"),
+      explode(col("grams")).as("gram"))
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    a.join(b, col("a.gram") === col("b.gram") && col("a.__bk") === col("b.__bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_grams").as("__na"), col("b.n_grams").as("__nb"))
+      .agg(count(lit(1)).as("__inter"))
+      .filter(col("__inter") >= minInter)
+      .select(col("doc_a"), col("doc_b"),
+        col("__inter").cast("int").as("inter_cnt"),
+        (col("__na") + col("__nb") - col("__inter")).cast("int").as("union_cnt"))
   }
 
   /** MinHash + LSH near-duplicate pairs: shingle → k-hash signature → b
@@ -94,10 +112,36 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Embedding cosine near-duplicates, exact within a blocking key (the
-    * SQL-checkable baseline; Similarity.lshBuckets is the scale path).
+  /** Embedding cosine near-duplicates, blocked by random-hyperplane LSH
+    * buckets: candidates are pairs sharing a bucket in any of `nTables`
+    * sign-hash tables, confirmed by exact cosine ≥ tau. The bucket hash is
+    * seed-deterministic (splitmix64 hyperplanes), so the candidate set — and
+    * therefore the result — is exactly reproducible, including by a SQL
+    * oracle that recomputes the same hyperplanes. Precision is 1.0 (exact
+    * confirm); recall is the standard LSH union bound, a tunable
+    * (nBits, nTables) tradeoff. The only join key is (table, bucket): cost
+    * scales with Σ bucket-size², never with n².
     */
-  def embeddingNearDups(emb: DataFrame, tau: Double): DataFrame = {
+  def embeddingNearDups(emb: DataFrame, tau: Double, nBits: Int = 8,
+                        nTables: Int = 12, seed: Long = 3L): DataFrame = {
+    val banded = emb.select(col("vec_id"), col("embedding"),
+        posexplode(PipelineFunctions.lshBuckets(col("embedding"), nBits, nTables, seed))
+          .as(Seq("tbl", "bucket")))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("__ea"), col("b.embedding").as("__eb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .filter(Similarity.cosine(col("__ea"), col("__eb")) >= tau)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** All-pairs exact variant — the ground truth for recall tests only; its
+    * physical plan is a nested-loop join and must never ship in a query.
+    */
+  def embeddingNearDupsExact(emb: DataFrame, tau: Double): DataFrame = {
     val a = emb.alias("a")
     val b = emb.alias("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))

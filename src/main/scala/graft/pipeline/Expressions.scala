@@ -125,10 +125,17 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     var win = 0
     val lastWin = math.max(m - w, 0)
     while (win <= lastWin) {
-      var min = Long.MaxValue
+      // minimum in UNSIGNED 64-bit order (hashes are unsigned values carried
+      // in signed longs; -1L is the unsigned maximum) — keeps the selection
+      // rule identical to any standard-integer reimplementation (the SQL
+      // oracle compares UBIGINT).
+      var min = -1L
       var j = win
       val end = math.min(win + w, m)
-      while (j < end) { if (hashes(j) < min) min = hashes(j); j += 1 }
+      while (j < end) {
+        if (java.lang.Long.compareUnsigned(hashes(j), min) < 0) min = hashes(j)
+        j += 1
+      }
       sel += min
       win += 1
     }

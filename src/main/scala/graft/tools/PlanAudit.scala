@@ -44,6 +44,24 @@ object PlanAudit {
 
     println("=== [5] encode job plan (single explicit shuffle) ===")
     EncodeJob.encode(input, EncodeOptions(numBuckets = 4)).explain("formatted")
+
+    println("=== [6] near-dup queries must be key-joins, never nested loops ===")
+    // (VERDICT r1: the shipped q_ngram_jaccard / q_embedding_near_dups must
+    // not plan as BroadcastNestedLoopJoin or an unblocked self-join)
+    val tokenDocs = input.toDF().withColumn("doc_id", col("doc_id").cast("bigint"))
+    val ngram = graft.pipeline.Dedup.ngramJaccardPairs(tokenDocs, n = 3, minInter = 3)
+    val nearDups = graft.pipeline.Dedup.embeddingNearDups(emb, tau = 0.5)
+    Seq("q_ngram_jaccard" -> ngram, "q_embedding_near_dups" -> nearDups).foreach {
+      case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct").filter(plan.contains)
+        require(bad.isEmpty, s"$name plans a nested-loop join: $bad")
+        println(s"$name: key-join plan OK (no nested loop)")
+    }
+    df0Explain(ngram)
     spark.stop()
   }
+
+  private def df0Explain(df: org.apache.spark.sql.DataFrame): Unit =
+    df.explain("formatted")
 }

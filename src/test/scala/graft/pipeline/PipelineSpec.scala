@@ -62,6 +62,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.4, s"IVF recall too low: $ivfRecall (bf=$bf ivf=$ivf)")
   }
 
+  test("embedding near-dups: LSH blocking has precision 1.0 vs exact all-pairs") {
+    def vpairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("vec_a"), col("vec_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = vpairs(Dedup.embeddingNearDupsExact(emb, tau = 0.5))
+    val blocked = vpairs(Dedup.embeddingNearDups(emb, tau = 0.5))
+    assert(blocked.subsetOf(exact), s"blocked emitted non-dups: ${blocked -- exact}")
+    // measured on this fixture: the sf0.01 pair (169,466) at cos 0.513 is
+    // recalled by the default (nBits=8, nTables=12, seed=3) blocking
+    assert(blocked == exact, s"recall miss at sf0.01: ${exact -- blocked}")
+  }
+
+  test("ngram jaccard inverted-index equals all-pairs array_intersect formulation") {
+    val inv = pairs(Dedup.ngramJaccardPairs(docs, n = 3, minInter = 3))
+    // independent all-pairs recomputation via array intersection
+    val g = docs.filter(col("n_tok") >= 3)
+      .select(col("doc_id"), col("source"),
+        PipelineFunctions.shingleHashes(col("tokens"), 3).as("grams"))
+    val ap = g.alias("a").join(g.alias("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.grams"), col("b.grams"))).as("inter_cnt"))
+      .filter(col("inter_cnt") >= 3)
+    assert(inv == pairs(ap), "inverted-index result differs from all-pairs")
+  }
+
   test("winnow fingerprints: identical docs share all, near-dups share most") {
     val fp = TextAnalysis.fingerprintPairs(docs, minShared = 2)
     val found = pairs(fp)
