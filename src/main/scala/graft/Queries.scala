@@ -17,8 +17,12 @@ import scala.collection.mutable
   */
 object Queries {
 
-  // one encode per (sfDir, flavor) per session — queries share the chunk table
-  private val chunkCache = mutable.HashMap.empty[(String, String), DataFrame]
+  // One encode per (session, sfDir, flavor) — queries share the chunk table.
+  // The SESSION is part of the key: cached DataFrames are bound to the
+  // SparkSession that built them, and Bench stops/recreates sessions in one
+  // JVM; a (dir, flavor)-only key would hand a later session a DataFrame on
+  // a dead session. The vocab cache holds plain Scala data — session-free.
+  private val chunkCache = mutable.HashMap.empty[(SparkSession, String, String), DataFrame]
   private val vocabCache = mutable.HashMap.empty[String, Map[String, Int]]
 
   def vocab(spark: SparkSession, dir: String): Map[String, Int] = synchronized {
@@ -28,7 +32,7 @@ object Queries {
 
   /** FSST-forced chunks: the pattern-query path (compressed-domain DFA). */
   def fsstChunks(spark: SparkSession, dir: String): DataFrame = synchronized {
-    chunkCache.getOrElseUpdate((dir, "fsst"), {
+    chunkCache.getOrElseUpdate((spark, dir, "fsst"), {
       Graft.install(spark)
       val (input, _) = Tokenize.documents(spark, dir)
       EncodeJob.encode(input, EncodeOptions(forceCodec = Some("fsst"))).toDF().cache()
@@ -37,7 +41,7 @@ object Queries {
 
   /** Auto-selected chunks: the round-trip / accounting path. */
   def autoChunks(spark: SparkSession, dir: String): DataFrame = synchronized {
-    chunkCache.getOrElseUpdate((dir, "auto"), {
+    chunkCache.getOrElseUpdate((spark, dir, "auto"), {
       Graft.install(spark)
       val (input, _) = Tokenize.documents(spark, dir)
       EncodeJob.encode(input, EncodeOptions()).toDF().cache()

@@ -87,7 +87,33 @@ object RelationalQueries {
       .groupBy(col("p_type")).agg(count(lit(1)).as("n_above_avg"))
   }
 
+  /** q13 shape: LEFT OUTER JOIN with a NOT LIKE predicate in the join
+    * condition (not WHERE — that would make it inner), then the
+    * orders-per-customer distribution (/root/reference/queries/tpc-h/q13.sql).
+    */
+  def leftOuterDist(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey") &&
+          !col("o_orderpriority").like("%URGENT%"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** q16 shape: count(DISTINCT suppkey) per part group with NOT-equal /
+    * NOT LIKE dimension filters (/root/reference/queries/tpc-h/q16.sql:5).
+    */
+  def countDistinctSuppliers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("MEDIUM%"))
+      .join(t(spark, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rel_left_outer" -> (leftOuterDist _),
+    "q_rel_count_distinct" -> (countDistinctSuppliers _),
     "q_rel_agg_summary" -> (aggSummary _),
     "q_rel_join_topk" -> (joinTopK _),
     "q_rel_semi_join" -> (semiJoin _),
@@ -99,6 +125,18 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rel_left_outer" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q_rel_count_distinct" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'MEDIUM%'
+        |GROUP BY p_brand, p_size""".stripMargin,
     "q_rel_agg_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -30,7 +30,11 @@ final case class EncodeOptions(
     maxTokensPerChunk: Long = 1L << 19, // 512Ki tokens ≈ 2 MiB buffered per concurrent task
 
     forceCodec: Option[String] = None,
-    waves: Int = 1)
+    waves: Int = 1,
+    // job/batch discriminator mixed into chunk_id's high bits so appends
+    // from several encode jobs (streaming micro-batches) to one table never
+    // collide: chunk_id = (jobTag << 40) | (bucket << 24) | seq.
+    jobTag: Long = 0L)
 
 object EncodeJob {
 
@@ -133,7 +137,8 @@ private final class ChunkIterator(it: Iterator[(Int, TokenRow)], opts: EncodeOpt
       rows(i) = g.tokens(order(i))
       i += 1
     }
-    val chunk = ChunkOps.build((bucket.toLong << 24) | seq.toLong, bucket,
+    val chunk = ChunkOps.build(
+      (opts.jobTag << 40) | (bucket.toLong << 24) | seq.toLong, bucket,
       docIds, key._2, scala.collection.immutable.ArraySeq.unsafeWrapArray(rows),
       opts.forceCodec, fsstHeaders, g.buildStats())
     g.reset()

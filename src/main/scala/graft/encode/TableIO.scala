@@ -80,6 +80,16 @@ object ResumableEncode {
 
     val doneBuckets: Set[Int] = io.readManifest(spark) match {
       case Some(m) =>
+        // Single-run-per-table contract: dropBuckets deletes whole part_id
+        // directories, so resuming a DIFFERENT run against a table that
+        // already has committed rows would destroy the other run's data and
+        // corrupt per-bucket metrics. Refuse instead of silently deleting.
+        val otherRuns = m.filter(col("run_id") =!= runId)
+          .select("run_id").distinct().collect().map(_.getString(0))
+        require(otherRuns.isEmpty,
+          s"table already holds committed runs ${otherRuns.mkString(", ")}; " +
+            s"ResumableEncode resumes one run per table — use a fresh table " +
+            s"root or the original run_id (got: $runId)")
         m.filter(col("run_id") === runId && col("status") === "committed")
           .select("part_id").distinct().collect().map(_.getInt(0)).toSet
       case None => Set.empty

@@ -46,7 +46,7 @@ final case class TokenRow(doc_id: String, tokens: Array[Int], n_tok: Int, source
   */
 final case class ManifestRow(
     run_id: String,
-    wave: Int,
+    wave: Long, // batch wave, or the streaming micro-batch id (a Long)
     part_id: Int,
     status: String,
     n_chunks: Long,
@@ -113,6 +113,21 @@ object ChunkOps {
     c.getValue
   }
 
+  /** Chunk-integrity CRC over EVERY field a decode depends on — data,
+    * symtab, offsets, and packed doc ids — so a corrupt header or row index
+    * cannot yield a silently wrong decode or misattributed doc ids (it fails
+    * the decodeAll require instead).
+    */
+  def chunkCrc(data: Array[Byte], symtab: Array[Byte], offsets: Array[Byte],
+               docIds: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(data)
+    c.update(symtab)
+    c.update(offsets)
+    c.update(docIds)
+    c.getValue
+  }
+
   /** Build one EncodedChunk from buffered rows (codec chosen by stats unless
     * forced). `fsstHeaderCache`, when given, is consulted/updated so the
     * expensive symbol-table training runs once per (bucket, source) group.
@@ -143,23 +158,25 @@ object ChunkOps {
     var i = 0
     while (i < rows.length) { enc.encode(rows(i), out); ends(i) = out.size; i += 1 }
     val data = out.toBytes
+    val offsetsPacked = Offsets.pack(ends)
+    val idsPacked = PackedIds.pack(docIds)
     EncodedChunk(
       chunk_id = chunkId,
       part_id = partId,
       codec = codec.name,
       symtab = header,
       data = data,
-      offsets = Offsets.pack(ends),
+      offsets = offsetsPacked,
       row_count = rows.length,
       n_tokens = stats.totalTokens,
       first_doc_id = if (docIds.nonEmpty) docIds(0) else "",
-      doc_ids = PackedIds.pack(docIds),
+      doc_ids = idsPacked,
       source = source,
       stats = ChunkStatsRow(stats.distinctEst, stats.minTok, stats.maxTok,
         stats.maxRun, enc.escapeCount, stats.bloom,
         if (enc.escapedBloom != null) enc.escapedBloom
         else stats.bloom), // non-FSST codecs decode-then-match: every token "escaped"
-      crc = crc32(data))
+      crc = chunkCrc(data, header, offsetsPacked, idsPacked))
   }
 
   /** Bit-identical round-trip decode of a whole chunk (D1). */
@@ -167,7 +184,8 @@ object ChunkOps {
     val codec = Codecs.byName(c.codec)
     val dec = codec.decoder(c.symtab)
     val offs = Offsets.unpack(c.offsets, c.row_count)
-    require(ChunkOps.crc32(c.data) == c.crc, s"chunk ${c.chunk_id}: crc mismatch")
+    require(ChunkOps.chunkCrc(c.data, c.symtab, c.offsets, c.doc_ids) == c.crc,
+      s"chunk ${c.chunk_id}: crc mismatch")
     val ids = PackedIds.unpackAll(c.doc_ids, c.row_count)
     (0 until c.row_count).iterator.map { i =>
       val toks = dec.decode(c.data, offs(i), offs(i + 1))

@@ -43,7 +43,9 @@ object StreamingEncode {
         val alreadyCommitted = io.readManifest(spark).exists(
           _.filter(col("run_id") === batchRunId).limit(1).count() > 0)
         if (!alreadyCommitted) {
-          val chunks = EncodeJob.encode(batch, opts).cache()
+          // batchId + 1 in chunk_id's high bits: distinct from the batch
+          // path's default tag 0 and from every other micro-batch
+          val chunks = EncodeJob.encode(batch, opts.copy(jobTag = batchId + 1)).cache()
           try {
             io.appendChunks(chunks)
             // metrics of THIS batch's chunks only (aggregating the whole
@@ -56,7 +58,7 @@ object StreamingEncode {
               .collect()
             val now = System.currentTimeMillis()
             val rows = written.toSeq.map(r => ManifestRow(
-              batchRunId, batchId.toInt, r.getInt(0), "committed",
+              batchRunId, batchId, r.getInt(0), "committed",
               r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), now))
             if (rows.nonEmpty) io.appendManifest(spark.createDataFrame(rows))
           } finally chunks.unpersist()

@@ -127,6 +127,21 @@ class EncodeSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("resume with a different run_id against a committed table is refused") {
+    val (input, _) = Tokenize.documents(spark, sf)
+    val opts = EncodeOptions(numBuckets = 4, maxRowsPerChunk = 32, maxTokensPerChunk = 8192)
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    val io = new ParquetTableIO(s"$dir/t")
+    ResumableEncode.run(spark, input, io, "run1", opts)
+    val before = io.readChunks(spark).count()
+    // a new run_id must NOT silently delete run1's committed part_id dirs
+    val e = intercept[IllegalArgumentException] {
+      ResumableEncode.run(spark, input, io, "run2", opts)
+    }
+    assert(e.getMessage.contains("run1"))
+    assert(io.readChunks(spark).count() == before, "guard must fire before any delete")
+  }
+
   test("derived token tables cover dict/rle/for codecs end-to-end") {
     val qty = Tokenize.lineitemQuantities(spark, sf)
     val chunksQ = EncodeJob.encode(qty, EncodeOptions(numBuckets = 2)).cache()
