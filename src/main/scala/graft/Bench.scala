@@ -26,6 +26,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", "/dev/shm/spark-tmp") // shuffle on tmpfs: stable timings
+      // The encode shuffle payload is already varint-packed (TokenBlocks);
+      // lz4 on top was measured pure overhead with tmpfs-resident shuffle
+      // files (no disk/network to amortize). A network shuffle would flip
+      // this back on.
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

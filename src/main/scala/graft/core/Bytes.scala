@@ -48,6 +48,31 @@ final class ByteWriter(initialCapacity: Int = 4096) {
   /** ZigZag + LEB128: round-trips any Int32 (negative tokens included). */
   def writeZigZag(v: Int): Unit = writeVarUInt((v << 1) ^ (v >> 31))
 
+  /** Fixed-width little-endian int (for later patch32). */
+  def writeFixed32(v: Int): Unit = {
+    ensure(4)
+    buf(len) = v.toByte
+    buf(len + 1) = (v >>> 8).toByte
+    buf(len + 2) = (v >>> 16).toByte
+    buf(len + 3) = (v >>> 24).toByte
+    len += 4
+  }
+
+  /** Overwrite a previously written fixed32 (e.g. a count known at flush). */
+  def patch32(pos: Int, v: Int): Unit = {
+    buf(pos) = v.toByte
+    buf(pos + 1) = (v >>> 8).toByte
+    buf(pos + 2) = (v >>> 16).toByte
+    buf(pos + 3) = (v >>> 24).toByte
+  }
+
+  /** Zero-copy append window: grow to fit n more bytes and expose the
+    * backing array; the caller writes at [size, size+n) then rawAdvance(n).
+    * For writers (UTF8String.writeToMemory) that can fill a byte[] directly.
+    */
+  def ensureRaw(n: Int): Array[Byte] = { ensure(n); buf }
+  def rawAdvance(n: Int): Unit = { len += n }
+
   def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
 }
 

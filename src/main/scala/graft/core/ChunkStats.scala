@@ -68,14 +68,19 @@ object ChunkStats {
     private var bloom = new Array[Byte](BloomBytes)
     private var distinct = new IntSet(DictCodec.MaxCard)
 
-    def addRow(toks: Array[Int]): Unit = {
+    def addRow(toks: Array[Int]): Unit = addRowRange(toks, 0, toks.length)
+
+    /** One row's tokens at [from, from+n) of a shared buffer (the
+      * GroupBuffer's primitive array — avoids a per-row Array[Int]).
+      */
+    def addRowRange(toks: Array[Int], from: Int, n: Int): Unit = {
       rowCount += 1
-      val n = toks.length
       total += n
       var rowMin = Int.MaxValue
       var rowMax = Int.MinValue
-      var i = 0
-      while (i < n) {
+      var i = from
+      val end = from + n
+      while (i < end) {
         val v = toks(i)
         if (v < rowMin) rowMin = v
         if (v > rowMax) rowMax = v
@@ -83,7 +88,7 @@ object ChunkStats {
         bloomSet(bloom, v)
         distinct.add(v)
         var run = 1
-        while (i + run < n && toks(i + run) == v) run += 1
+        while (i + run < end && toks(i + run) == v) run += 1
         if (run > maxRun) maxRun = run
         runs += 1
         vbytes += vl.toLong * run

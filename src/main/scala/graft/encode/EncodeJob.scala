@@ -62,11 +62,39 @@ object EncodeJob {
   }
 
   /** Pure encode: token rows → encoded chunks (no I/O).
-    * The reduce side walks InternalRows directly (values copied on
-    * extraction) — the object-Encoder deserializer measurably taxed the
-    * per-row path; semantics are identical to `plan(...)` + ChunkIterator.
+    *
+    * Map-side combine before the bucket shuffle: rows are packed per
+    * (bucket, source) into varint blocks (TokenBlocks) INSIDE each map task,
+    * so the shuffle moves ~2–3 B/token of packed payload in a few thousand
+    * block rows instead of ~4.3 B/token of per-row UnsafeRows in millions of
+    * rows. On a real cluster this is the network-bytes lever; on a shared
+    * memory bus it is the measured scaling lever (the row shuffle's CPU
+    * inflated ~6× from 8 to 32 local threads — memory-bandwidth bound).
+    * The reduce side unpacks blocks and chunk-builds exactly as before;
+    * bucket assignment, per-chunk row order, and the decode invariant are
+    * unchanged (chunk MEMBERSHIP follows arrival order, as documented).
     */
   def encode(ds: Dataset[TokenRow], opts: EncodeOptions = EncodeOptions()): Dataset[EncodedChunk] = {
+    if (sys.props.get("graft.shuffle.mode").contains("rows")) return encodeRowShuffle(ds, opts)
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val df = withBucket(ds.toDF(), opts)
+      .select(col("__bucket"), col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+    val packed = org.apache.spark.sql.GraftBridge.toInternalRdd(df)
+      .mapPartitions(TokenBlocks.pack)
+    val blocks = spark.createDataset(packed).toDF("bucket", "block")
+      .repartition(opts.numBuckets, col("bucket"))
+    val rdd = org.apache.spark.sql.GraftBridge.toInternalRdd(blocks).mapPartitions { it =>
+      new BlockChunkIterator(it, opts)
+    }
+    spark.createDataset(rdd)
+  }
+
+  /** Round-1 row-level shuffle (kept for A/B measurement via
+    * -Dgraft.shuffle.mode=rows / sys.props): every TokenRow travels as an
+    * UnsafeRow.
+    */
+  private def encodeRowShuffle(ds: Dataset[TokenRow], opts: EncodeOptions): Dataset[EncodedChunk] = {
     val spark = ds.sparkSession
     import spark.implicits._
     val df = withBucket(ds.toDF(), opts)
@@ -114,15 +142,27 @@ object EncodeJob {
   * locality. Chunk membership follows shuffle arrival order; the engine's
   * correctness invariant (decode == input, per-bucket resume) does not
   * depend on it.
+  *
+  * Ingestion is pluggable: the row path pulls (bucket, TokenRow) pairs; the
+  * block path (the shipped encode) ingests whole map-side-combined blocks,
+  * decoding varints DIRECTLY into the group's primitive array — no per-row
+  * Array[Int] or TokenRow allocation on the reduce side.
   */
-private final class ChunkIterator(it: Iterator[(Int, TokenRow)], opts: EncodeOptions)
+private abstract class ChunkIteratorBase(opts: EncodeOptions)
     extends Iterator[EncodedChunk] {
 
   private val fsstHeaders = scala.collection.mutable.HashMap.empty[(Int, String), Array[Byte]]
-  private val open = scala.collection.mutable.HashMap.empty[(Int, String), GroupBuffer]
+  protected val open = scala.collection.mutable.HashMap.empty[(Int, String), GroupBuffer]
   private val seqInBucket = scala.collection.mutable.HashMap.empty[Int, Int]
   private var drain: Iterator[(Int, String)] = _
   private var ready: EncodedChunk = _
+
+  /** Pull ONE input unit (row or block) into `open`; return the touched key,
+    * or null when the input is exhausted. A unit may add many rows — chunk
+    * limits are checked after each unit, so a chunk may overshoot the limit
+    * by at most one block (bounded by TokenBlocks' flush threshold).
+    */
+  protected def ingestNext(): (Int, String)
 
   private def emit(key: (Int, String), g: GroupBuffer): EncodedChunk = {
     val bucket = key._1
@@ -146,21 +186,20 @@ private final class ChunkIterator(it: Iterator[(Int, TokenRow)], opts: EncodeOpt
   }
 
   private def advance(): Unit = {
-    while (ready == null && it.hasNext) {
-      val (bucket, row) = it.next()
-      val key = (bucket, row.source)
-      val g = open.getOrElseUpdate(key, new GroupBuffer)
-      g.add(row.doc_id, row.tokens)
+    while (ready == null) {
+      val key = ingestNext()
+      if (key == null) {
+        if (drain == null) drain = open.keys.toArray.sorted.iterator
+        while (ready == null && drain.hasNext) {
+          val k = drain.next()
+          val g = open(k)
+          if (g.size > 0) ready = emit(k, g)
+        }
+        return
+      }
+      val g = open(key)
       if (g.size >= opts.maxRowsPerChunk || g.tokenCount >= opts.maxTokensPerChunk) {
         ready = emit(key, g)
-      }
-    }
-    if (ready == null) {
-      if (drain == null) drain = open.keys.toArray.sorted.iterator
-      while (ready == null && drain.hasNext) {
-        val key = drain.next()
-        val g = open(key)
-        if (g.size > 0) ready = emit(key, g)
       }
     }
   }
@@ -178,6 +217,49 @@ private final class ChunkIterator(it: Iterator[(Int, TokenRow)], opts: EncodeOpt
   }
 }
 
+/** Row-at-a-time ingestion (the A/B row-shuffle path and tests). */
+private final class ChunkIterator(it: Iterator[(Int, TokenRow)], opts: EncodeOptions)
+    extends ChunkIteratorBase(opts) {
+  protected def ingestNext(): (Int, String) = {
+    if (!it.hasNext) return null
+    val (bucket, row) = it.next()
+    val key = (bucket, row.source)
+    open.getOrElseUpdate(key, new GroupBuffer).add(row.doc_id, row.tokens)
+    key
+  }
+}
+
+/** Block ingestion: InternalRows of (bucket int, block binary) from the
+  * map-side combine; one block = many rows of one (bucket, source) group,
+  * varint-decoded straight into the group's primitive token array.
+  */
+private final class BlockChunkIterator(
+    it: Iterator[org.apache.spark.sql.catalyst.InternalRow], opts: EncodeOptions)
+    extends ChunkIteratorBase(opts) {
+  protected def ingestNext(): (Int, String) = {
+    if (!it.hasNext) return null
+    val r = it.next()
+    val bucket = r.getInt(0)
+    val block = r.getBinary(1)
+    val rd = new graft.core.ByteReader(block, 0, block.length)
+    val srcLen = rd.readVarUInt()
+    val source = new String(block, rd.pos, srcLen, java.nio.charset.StandardCharsets.UTF_8)
+    rd.pos += srcLen
+    val nRows = TokenBlocks.readFixed32(block, rd)
+    val key = (bucket, source)
+    val g = open.getOrElseUpdate(key, new GroupBuffer)
+    var i = 0
+    while (i < nRows) {
+      val idLen = rd.readVarUInt()
+      val id = new String(block, rd.pos, idLen, java.nio.charset.StandardCharsets.UTF_8)
+      rd.pos += idLen
+      g.addPacked(rd, rd.readVarUInt(), id)
+      i += 1
+    }
+    key
+  }
+}
+
 /** Compact open-chunk accumulator: tokens in one growing primitive array.
   * Chunk statistics accrue during add() (fused pass — all stats are
   * row-internal or order-independent, see ChunkStats.Builder).
@@ -190,18 +272,37 @@ private final class GroupBuffer {
   private val ids = new scala.collection.mutable.ArrayBuffer[String]
   private val statsB = new graft.core.ChunkStats.Builder
 
-  def add(docId: String, toks: Array[Int]): Unit = {
-    if (len + toks.length > big.length) {
+  private def ensure(n: Int): Unit = {
+    if (len + n > big.length) {
       var cap = big.length << 1
-      while (cap < len + toks.length) cap <<= 1
+      while (cap < len + n) cap <<= 1
       big = java.util.Arrays.copyOf(big, cap)
     }
+  }
+
+  def add(docId: String, toks: Array[Int]): Unit = {
+    ensure(toks.length)
     System.arraycopy(toks, 0, big, len, toks.length)
     starts += len
     lens += toks.length
     ids += docId
+    statsB.addRowRange(big, len, toks.length)
     len += toks.length
-    statsB.addRow(toks)
+  }
+
+  /** One row decoded from a TokenBlocks cursor straight into the primitive
+    * array — the zero-intermediate-allocation reduce path.
+    */
+  def addPacked(rd: graft.core.ByteReader, n: Int, docId: String): Unit = {
+    ensure(n)
+    var p = len
+    val end = len + n
+    while (p < end) { big(p) = rd.readZigZag(); p += 1 }
+    starts += len
+    lens += n
+    ids += docId
+    statsB.addRowRange(big, len, n)
+    len += n
   }
 
   def buildStats(): graft.core.ChunkStats = statsB.build()
