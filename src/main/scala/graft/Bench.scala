@@ -93,13 +93,18 @@ object Bench {
     // same conditions — and the best (least-contended) round is reported.
     def measureAllLevels(): Unit = {
       var firstRound = true
-      for (round <- 1 to 5) {
+      // 7 rounds, and within a round each level is the MIN OF TWO back-to-back
+      // runs: a single multi-second contention spike (the dominant noise mode
+      // on this host) then contaminates at most one of the pair, and the
+      // median over 7 round-ratios tolerates 3 contaminated rounds.
+      for (round <- 1 to 7) {
         val thisRound = scala.collection.mutable.Map.empty[Int, Double]
         for (cpus <- Seq(32, 8, 2)) {
           val s = session(cpus)
-          if (firstRound && cpus == 32) { encodeRun(s, inputPath, 64); encodeRun(s, inputPath, 64) }
-          if (firstRound && cpus != 32) encodeRun(s, inputPath, 64)
-          val (sec, t, b) = encodeRun(s, inputPath, 64)
+          if (firstRound) encodeRun(s, inputPath, 64) // JIT warm-up
+          val (sec1, t, b) = encodeRun(s, inputPath, 64)
+          val (sec2, _, _) = encodeRun(s, inputPath, 64)
+          val sec = math.min(sec1, sec2)
           toks = t; bytes = b
           thisRound(cpus) = sec
           if (sec < levelTimes(cpus)) levelTimes(cpus) = sec
@@ -135,8 +140,10 @@ object Bench {
       val pat = (0 until 64).map(SyntheticData.hotPhrase).maxBy(_.length).toSeq
       val input = spark.read.parquet(inputPath)
       // materialize the chunk table to parquet so raw and compressed scans
-      // both read from storage (fair comparison; page cache warms both)
-      val chunksPath = s"${inputPath}_chunks_fsst"
+      // both read from storage (fair comparison; page cache warms both).
+      // The path carries a format tag: chunk-format changes (e.g. the crc
+      // now covering symtab+offsets+doc_ids) must invalidate this cache.
+      val chunksPath = s"${inputPath}_chunks_fsst_v2"
       if (!fs.exists(new org.apache.hadoop.fs.Path(chunksPath))) {
         EncodeJob.encode(input.as[TokenRow],
           EncodeOptions(numBuckets = 64, forceCodec = Some("fsst")))
@@ -161,7 +168,34 @@ object Bench {
         Graft.scanAndDecode(chunks, graft.core.PatternMode.Contains, Seq(pat)).count())
       require(nRaw == nDec && nDec == nCmp && nCmp == nLate,
         s"pattern-scan paths disagree: $nRaw $nDec $nCmp $nLate")
-      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_compressed_late_decode":$tLate%.3f}"""
+
+      // dict-domain and RLE-domain compressed scans (PackedMatch): each vs
+      // its own decode-then-match baseline on the same chunk table
+      import graft.spark.Tokenize
+      val (docsTok, v) = Tokenize.documents(spark, sfDir)
+      val dictChunks = EncodeJob.encode(docsTok,
+        EncodeOptions(numBuckets = 8, forceCodec = Some("dict"))).toDF().cache()
+      val dictPat = Seq(v("value"), v("table"))
+      val (nDictS, tDictS) = best(
+        Graft.scanPattern(dictChunks, graft.core.PatternMode.Contains, Seq(dictPat)).count())
+      val (nDictD, tDictD) = best(
+        EncodeJob.decode(dictChunks.as[graft.format.EncodedChunk]).toDF()
+          .filter(Graft.containsTokens(col("tokens"), dictPat)).count())
+      val ev = Tokenize.eventTypes(spark, sfDir)
+      val rleChunks = EncodeJob.encode(ev,
+        EncodeOptions(numBuckets = 8, forceCodec = Some("rle"))).toDF().cache()
+      val rlePat = Seq(0, 0, 0)
+      val (nRleS, tRleS) = best(
+        Graft.scanPattern(rleChunks, graft.core.PatternMode.Contains, Seq(rlePat)).count())
+      val (nRleD, tRleD) = best(
+        EncodeJob.decode(rleChunks.as[graft.format.EncodedChunk]).toDF()
+          .filter(Graft.containsTokens(col("tokens"), rlePat)).count())
+      require(nDictS == nDictD && nRleS == nRleD,
+        s"packed-domain scans disagree with decode: dict $nDictS/$nDictD rle $nRleS/$nRleD")
+      dictChunks.unpersist()
+      rleChunks.unpersist()
+
+      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f}"""
     }
 
     spark.stop()

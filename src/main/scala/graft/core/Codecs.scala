@@ -117,6 +117,20 @@ object DictCodec extends ChunkCodec {
     dict
   }
 
+  /** Decoder to dictionary INDICES (skips the value mapping) — the
+    * dict-domain match path: patterns are translated to indices once, rows
+    * compare in the index alphabet and token values never materialize.
+    */
+  def indexDecoder(header: Array[Byte]): RowDecoder = new RowDecoder {
+    private val card = new ByteReader(header, 0, header.length).readVarUInt()
+    private val width = BitPack.bitsFor(math.max(card - 1, 0))
+    def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] = {
+      val r = new ByteReader(bytes, from, to)
+      val n = r.readVarUInt()
+      BitPack.unpack(bytes, r.pos, n, width, i => i)
+    }
+  }
+
   def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
     private val dict = readDict(header)
     private val width = BitPack.bitsFor(math.max(dict.length - 1, 0))

@@ -38,12 +38,15 @@ private[query] final class HeaderCache[V](build: Array[Byte] => V, max: Int = 32
 private[query] object EvalCaches {
   private val symtabs = new HeaderCache[SymTab](SymTab.fromBytes)
   private val dicts = new HeaderCache[Array[Int]](DictCodec.readDict)
+  private val idxDecoders = new HeaderCache[RowDecoder](DictCodec.indexDecoder)
   private val decodersByCodec =
     scala.collection.concurrent.TrieMap.empty[String, HeaderCache[RowDecoder]]
 
   def symtab(header: Array[Byte]): SymTab = symtabs.get(header)
   /** Sorted dictionary values from a dict-codec header. */
   def dict(header: Array[Byte]): Array[Int] = dicts.get(header)
+  /** Dict-codec decoder to INDICES (dict-domain matching). */
+  def indexDecoder(header: Array[Byte]): RowDecoder = idxDecoders.get(header)
   def decoder(codec: String, header: Array[Byte]): RowDecoder =
     decodersByCodec.getOrElseUpdate(codec,
       new HeaderCache[RowDecoder](Codecs.byName(codec).decoder)).get(header)
@@ -110,6 +113,15 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
   private val partsArr: Array[Array[Int]] =
     PatternMode.normalize(mode, parts.map(_.toArray).toArray)
   private val patternId = System.identityHashCode(this)
+  // pattern as maximal runs (RLE-domain matching) — pattern constants
+  @transient private lazy val patRuns: (Array[Array[Int]], Array[Array[Int]], Array[Int]) = {
+    val rs = partsArr.map(RleMatch.patternRuns)
+    (rs.map(_._1), rs.map(_._2), partsArr.map(_.length))
+  }
+  // token→index translation memoized per dict header (evaluated per row)
+  @transient private lazy val dictParts =
+    new HeaderCache[Option[Array[Array[Int]]]](
+      h => DictMatch.translate(EvalCaches.dict(h), partsArr))
   override def first: Expression = enc
   override def second: Expression = header
   override def third: Expression = codecName
@@ -122,6 +134,16 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
       val st = EvalCaches.symtab(headerBytes)
       val pm = PatternMachine.forTable(st, patternId, partsArr)
       FsstMatch.eval(mode, pm, bytes, 0, bytes.length)
+    } else if (codec == DictCodec.name) {
+      dictParts.get(headerBytes) match {
+        case None => false // a pattern token is outside this chunk's dictionary
+        case Some(idxParts) =>
+          val dec = EvalCaches.indexDecoder(headerBytes)
+          TokenMatch.eval(mode, idxParts, dec.decode(bytes, 0, bytes.length))
+      }
+    } else if (codec == RleCodec.name) {
+      val (pvs, pcs, lens) = patRuns
+      RleMatch.eval(mode, bytes, 0, bytes.length, pvs, pcs, lens)
     } else {
       val dec = EvalCaches.decoder(codec, headerBytes)
       TokenMatch.eval(mode, partsArr, dec.decode(bytes, 0, bytes.length))
@@ -212,19 +234,33 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
           FsstMatch.eval(mode, pm, data, offs(i), offs(i + 1)))
         i += 1
       }
-    } else {
-      // dict chunks: exact membership gate (stronger than the bloom, which
-      // saturates on high-cardinality chunks) — a pattern token outside the
-      // dictionary proves the chunk matchless
-      if (codec == DictCodec.name) {
-        val dict = EvalCaches.dict(header)
-        var t = 0
-        while (t < neededTokens.length) {
-          if (java.util.Arrays.binarySearch(dict, neededTokens(t)) < 0)
-            return new GenericArrayData(Array.empty[Any])
-          t += 1
-        }
+    } else if (codec == DictCodec.name) {
+      // dict-domain matching: translate the pattern to dictionary indices
+      // once (an absent token proves the chunk matchless — an exact gate,
+      // stronger than the bloom); rows then match on bit-packed indices and
+      // token values never materialize.
+      DictMatch.translate(EvalCaches.dict(header), partsArr) match {
+        case None => return new GenericArrayData(Array.empty[Any])
+        case Some(idxParts) =>
+          val dec = EvalCaches.indexDecoder(header)
+          var i = 0
+          while (i < rowCount) {
+            nextId(TokenMatch.eval(mode, idxParts, dec.decode(data, offs(i), offs(i + 1))))
+            i += 1
+          }
       }
+    } else if (codec == RleCodec.name) {
+      // RLE-domain matching: run-granularity comparisons, rows never expand
+      val rs = partsArr.map(RleMatch.patternRuns)
+      val pvs = rs.map(_._1)
+      val pcs = rs.map(_._2)
+      val lens = partsArr.map(_.length)
+      var i = 0
+      while (i < rowCount) {
+        nextId(RleMatch.eval(mode, data, offs(i), offs(i + 1), pvs, pcs, lens))
+        i += 1
+      }
+    } else {
       val dec = EvalCaches.decoder(codec, header)
       var i = 0
       while (i < rowCount) {

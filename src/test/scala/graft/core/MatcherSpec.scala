@@ -98,6 +98,81 @@ class MatcherSpec extends AnyFunSuite {
     check("multi_infix", Array(Array(7), Array(7), Array(7)))
   }
 
+  // ---- dict-domain and RLE-domain matchers (PackedMatch) -----------------
+
+  /** Runs-biased rows: bursts of repeated values so RLE is the natural codec
+    * and run-boundary edges (tail/interior/head alignment) get exercised.
+    */
+  private val genRunRow: Gen[Array[Int]] =
+    Gen.choose(0, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(Gen.choose(0, 4), Gen.choose(1, 6))))
+      .map(_.flatMap { case (v, c) => List.fill(c)(v) }.toArray)
+  private val genRunPart: Gen[Array[Int]] =
+    Gen.choose(1, 3).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(Gen.choose(0, 4), Gen.choose(1, 4))))
+      .map(_.flatMap { case (v, c) => List.fill(c)(v) }.toArray)
+
+  private def encodeWith(codec: ChunkCodec, rows: IndexedSeq[Array[Int]]): (Array[Byte], Array[Byte], Array[Int]) = {
+    val header = codec.buildHeader(rows, ChunkStats.compute(rows))
+    val enc = codec.encoder(header)
+    val out = new ByteWriter()
+    val offsets = new Array[Int](rows.length + 1)
+    rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offsets(i + 1) = out.size }
+    (header, out.toBytes, offsets)
+  }
+
+  test("RLE-domain matchers agree with token oracle on all modes (property)") {
+    checkProp(Prop.forAll(Gen.listOfN(20, genRunRow), genRunPart) { (rowsL, part) =>
+      val rows = rowsL.toIndexedSeq
+      val (_, data, off) = encodeWith(RleCodec, rows)
+      val (pv, pc) = RleMatch.patternRuns(part)
+      val pvs = Array(pv); val pcs = Array(pc); val lens = Array(part.length)
+      rows.indices.forall { i =>
+        Seq(PatternMode.Contains, PatternMode.Prefix, PatternMode.Suffix, PatternMode.Equals)
+          .forall { mode =>
+            RleMatch.eval(mode, data, off(i), off(i + 1), pvs, pcs, lens) ==
+              TokenMatch.eval(mode, Array(part), rows(i))
+          }
+      }
+    })
+  }
+
+  test("RLE-domain multi-infix agrees with greedy token oracle (property)") {
+    val genParts = Gen.choose(1, 3).flatMap(k => Gen.listOfN(k, genRunPart)).map(_.toArray)
+    checkProp(Prop.forAll(Gen.listOfN(20, genRunRow), genParts) { (rowsL, parts0) =>
+      val parts = PatternMode.normalize(PatternMode.MultiInfix, parts0)
+      val rows = rowsL.toIndexedSeq
+      val (_, data, off) = encodeWith(RleCodec, rows)
+      val rs = parts.map(RleMatch.patternRuns)
+      rows.indices.forall { i =>
+        RleMatch.eval(PatternMode.MultiInfix, data, off(i), off(i + 1),
+          rs.map(_._1), rs.map(_._2), parts.map(_.length)) ==
+          TokenMatch.multiInfix(rows(i), parts)
+      }
+    })
+  }
+
+  test("dict-domain (index-translated) matchers agree with token oracle (property)") {
+    checkProp(Prop.forAll(Gen.listOfN(20, genRow), genPart) { (rowsL, part) =>
+      val rows = rowsL.toIndexedSeq
+      val nonEmpty = if (rows.forall(_.isEmpty)) rows :+ Array(1, 2) else rows
+      val (header, data, off) = encodeWith(DictCodec, nonEmpty)
+      val dict = DictCodec.readDict(header)
+      val dec = DictCodec.indexDecoder(header)
+      nonEmpty.indices.forall { i =>
+        Seq(PatternMode.Contains, PatternMode.Prefix, PatternMode.Suffix, PatternMode.Equals)
+          .forall { mode =>
+            val got = DictMatch.translate(dict, Array(part)) match {
+              case None => false // token absent from chunk: no row can match
+              case Some(idxParts) =>
+                TokenMatch.eval(mode, idxParts, dec.decode(data, off(i), off(i + 1)))
+            }
+            got == TokenMatch.eval(mode, Array(part), nonEmpty(i))
+          }
+      }
+    })
+  }
+
   test("zipf corpus: planted phrase found exactly (hero %special% analog)") {
     val rnd = new Random(42)
     val hot = Array(1001, 1002, 1003) // "special requests" analog

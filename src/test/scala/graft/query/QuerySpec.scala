@@ -82,6 +82,49 @@ class QuerySpec extends AnyFunSuite {
     dualRun(PatternMode.Contains, Seq(Seq(999999)))
   }
 
+  test("dict-forced chunks: dual-run green via dict-domain (index) matching") {
+    val dictChunks = EncodeJob.encode(input,
+      EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some("dict")))
+      .cache().toDF()
+    val v = vocab
+    val view = Graft.encodedRows(dictChunks)
+    for ((mode, parts) <- Seq(
+        PatternMode.Contains -> Seq(Seq(v("value"), v("table"))),
+        PatternMode.Prefix -> Seq(Seq(v("key"))),
+        PatternMode.Suffix -> Seq(Seq(v("value"))),
+        PatternMode.MultiInfix -> Seq(Seq(v("table")), Seq(v("scan"))),
+        PatternMode.Contains -> Seq(Seq(999999)))) { // outside every dictionary
+      val want = input.toDF().filter(mkPred(mode, parts, col("tokens"))).select("doc_id")
+      val gotScan = Graft.scanPattern(dictChunks, mode, parts)
+      val gotView = view.filter(mkPred(mode, parts, col("tokens"))).select("doc_id")
+      assert(want.except(gotScan).isEmpty && gotScan.except(want).isEmpty, s"$mode scan")
+      assert(want.except(gotView).isEmpty && gotView.except(want).isEmpty, s"$mode view")
+    }
+  }
+
+  test("rle-forced chunks: dual-run green via run-level matching") {
+    // events-derived table has genuine runs (bursts per user)
+    val runs = Tokenize.eventTypes(spark, sf)
+    val rleChunks = EncodeJob.encode(runs,
+      EncodeOptions(numBuckets = 4, maxRowsPerChunk = 64, forceCodec = Some("rle")))
+      .cache().toDF()
+    for ((mode, parts) <- Seq(
+        PatternMode.Contains -> Seq(Seq(0, 0)),
+        PatternMode.Contains -> Seq(Seq(1)),
+        PatternMode.Prefix -> Seq(Seq(0)),
+        PatternMode.Suffix -> Seq(Seq(2)),
+        PatternMode.MultiInfix -> Seq(Seq(0), Seq(1)))) {
+      val want = runs.toDF().filter(mkPred(mode, parts, col("tokens"))).select("doc_id")
+      val gotScan = Graft.scanPattern(rleChunks, mode, parts)
+      val gotView = Graft.encodedRows(rleChunks)
+        .filter(mkPred(mode, parts, col("tokens"))).select("doc_id")
+      assert(want.except(gotScan).isEmpty && gotScan.except(want).isEmpty,
+        s"$mode/$parts rle scan")
+      assert(want.except(gotView).isEmpty && gotView.except(want).isEmpty,
+        s"$mode/$parts rle view")
+    }
+  }
+
   test("mixed-codec chunk table: compressed match falls back to decode-then-match") {
     val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64))
       .cache().toDF()
