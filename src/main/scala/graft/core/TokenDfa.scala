@@ -117,19 +117,102 @@ final class PatternMachine(val parts: Array[Array[Int]], val st: SymTab) {
   def codesContaining(t: Int): Array[Int] =
     codesByToken.getOrElse(t.toLong, Array.emptyIntArray)
 
-  /** Byte table over codes that any match MUST touch, or null when the gate
-    * does not apply (some pattern token occurs escaped in this chunk).
-    * Returns Left(()) when the chunk provably cannot match at all.
+  /** All ways one pattern part can be spelled by this chunk's code stream,
+    * as CODE SETS: the first segment may start mid-symbol (suffix of a
+    * symbol), interior symbols must match exactly, the last segment may be a
+    * symbol prefix, and a token may travel as an escape only when the
+    * chunk's escaped-token bloom admits it (bloom false positives only ADD
+    * paths — conservative). Mirrors the reference's path enumeration
+    * (/root/reference/src/algos/Skipping.hpp:274-346) over the token
+    * alphabet. Returns None when enumeration blows the budget; Some(empty)
+    * means the part is UNSPELLABLE in this chunk — no row can match.
+    */
+  private def spellingPaths(part: Array[Int], escOk: Int => Boolean): Option[Set[Set[Int]]] = {
+    val m = part.length
+    val limit = 4096
+    val paths = scala.collection.mutable.Set.empty[Set[Int]]
+    var steps = 0
+    def rec(i: Int, acc: Set[Int]): Boolean = {
+      steps += 1
+      if (steps > 65536 || paths.size > limit) return false
+      if (i >= m) { paths += acc; return true }
+      if (escOk(part(i)) && !rec(i + 1, acc + SymTab.EscapeCode)) return false
+      var c = 0
+      while (c < st.nSymbols) {
+        val sym = st.symbol(c)
+        if (i == 0) {
+          var o = 0
+          while (o < sym.length) {
+            val k = math.min(sym.length - o, m)
+            var j = 0
+            while (j < k && sym(o + j) == part(j)) j += 1
+            if (j == k && !rec(k, acc + c)) return false
+            o += 1
+          }
+        } else {
+          val k = math.min(sym.length, m - i)
+          var j = 0
+          while (j < k && sym(j) == part(i + j)) j += 1
+          if (j == k && !rec(i + k, acc + c)) return false
+        }
+        c += 1
+      }
+      true
+    }
+    if (m == 0) return Some(Set(Set.empty))
+    if (!rec(0, Set.empty)) None else Some(paths.toSet)
+  }
+
+  /** Greedy hitting set: codes such that EVERY spelling path uses ≥1. */
+  private def hittingSet(paths: Set[Set[Int]]): Array[Int] = {
+    val remaining = scala.collection.mutable.Set.empty[Set[Int]] ++= paths
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (remaining.nonEmpty) {
+      val counts = scala.collection.mutable.Map.empty[Int, Int]
+      remaining.foreach(_.foreach(c => counts(c) = counts.getOrElse(c, 0) + 1))
+      val best = counts.maxBy(_._2)._1
+      out += best
+      remaining.filterInPlace(p => !p.contains(best))
+    }
+    out.toArray
+  }
+
+  /** Byte table over codes that any match MUST touch, or null when no
+    * worthwhile gate exists. Left(()) = the chunk provably cannot match.
+    *
+    * The gate is the SMALLEST hitting set found across (a) each pattern
+    * part's spelling-path cover (the reference's greedy set cover,
+    * /root/reference/src/algos/Skipping.hpp:348-449) and (b) the round-1
+    * single-rarest-token code set — so it is never weaker than (b). For
+    * multi-part patterns any single part's cover is sound (every part must
+    * match).
     */
   def requiredCodeTable(escapedBloom: Array[Byte]): Either[Unit, Array[Boolean]] = {
+    val escOk = (t: Int) => ChunkStats.bloomHas(escapedBloom, t)
     var best: Array[Int] = null
+    // (a) spelling-path covers, per part
     var k = 0
+    while (k < parts.length) {
+      val part = parts(k)
+      if (part.nonEmpty) {
+        spellingPaths(part, escOk) match {
+          case Some(ps) if ps.isEmpty => return Left(()) // unspellable part
+          case Some(ps) =>
+            val cover = hittingSet(ps)
+            if (best == null || cover.length < best.length) best = cover
+          case None => // enumeration blown: fall through to the token gate
+        }
+      }
+      k += 1
+    }
+    // (b) single-token gate (never-weaker floor; also handles the blown case)
+    k = 0
     while (k < parts.length) {
       val part = parts(k)
       var i = 0
       while (i < part.length) {
         val t = part(i)
-        if (!ChunkStats.bloomHas(escapedBloom, t)) {
+        if (!escOk(t)) {
           val codes = codesContaining(t)
           if (codes.isEmpty) return Left(()) // token unreachable → no match possible
           if (best == null || codes.length < best.length) best = codes
@@ -138,7 +221,7 @@ final class PatternMachine(val parts: Array[Array[Int]], val st: SymTab) {
       }
       k += 1
     }
-    if (best == null) Right(null)
+    if (best == null || best.length > 64) Right(null)
     else {
       val table = new Array[Boolean](256)
       best.foreach(c => table(c) = true)

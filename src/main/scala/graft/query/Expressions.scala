@@ -57,18 +57,32 @@ private[query] object EvalCaches {
   * (SURVEY.md §4 O2).
   */
 case class DecodeRow(enc: Expression, header: Expression, codecName: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = enc
   override def second: Expression = header
   override def third: Expression = codecName
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = enc.nullable || header.nullable || codecName.nullable
   override def prettyName: String = "decode_row"
-  override protected def nullSafeEval(e: Any, h: Any, c: Any): Any = {
-    val bytes = e.asInstanceOf[Array[Byte]]
-    val dec = EvalCaches.decoder(c.asInstanceOf[UTF8String].toString, h.asInstanceOf[Array[Byte]])
-    new GenericArrayData(dec.decode(bytes, 0, bytes.length))
+
+  def decodeOne(e: Array[Byte], h: Array[Byte], c: UTF8String): ArrayData = {
+    val dec = EvalCaches.decoder(c.toString, h)
+    new GenericArrayData(dec.decode(e, 0, e.length))
   }
+
+  override protected def nullSafeEval(e: Any, h: Any, c: Any): Any =
+    decodeOne(e.asInstanceOf[Array[Byte]], h.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[UTF8String])
+
+  // stays inside WholeStageCodegen (the per-row path a user hits when
+  // projecting `tokens` from the encoded view): one virtual call per row,
+  // no fallback-iterator boundary splitting the stage
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("decodeRow", this, classOf[DecodeRow].getName)
+    nullSafeCodeGen(ctx, ev, (e, h, c) => s"${ev.value} = $ref.decodeOne($e, $h, $c);")
+  }
+
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
     copy(enc = f, header = s, codecName = t)
 }

@@ -98,6 +98,75 @@ class MatcherSpec extends AnyFunSuite {
     check("multi_infix", Array(Array(7), Array(7), Array(7)))
   }
 
+  test("required-code set cover: sound (never gates out a matching row) (property)") {
+    checkProp(Prop.forAll(Gen.listOfN(30, genRow), genPart) { (rowsL, part) =>
+      val rows = rowsL.toIndexedSeq
+      val header = FsstTokenCodec.buildHeader(rows, ChunkStats.compute(rows))
+      val st = SymTab.fromBytes(header)
+      val enc = FsstTokenCodec.encoder(header)
+      val out = new ByteWriter()
+      val offsets = new Array[Int](rows.length + 1)
+      rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offsets(i + 1) = out.size }
+      val data = out.toBytes
+      val pm = new PatternMachine(Array(part), st)
+      pm.requiredCodeTable(enc.escapedBloom) match {
+        case Left(_) =>
+          // provable no-match: the oracle must agree on every row
+          rows.forall(r => !TokenMatch.contains(r, part))
+        case Right(null) => true
+        case Right(tbl) =>
+          rows.indices.forall { i =>
+            !TokenMatch.contains(rows(i), part) || {
+              var p = offsets(i)
+              var hit = false
+              while (!hit && p < offsets(i + 1)) { hit = tbl(data(p) & 0xff); p += 1 }
+              hit // a matching row must touch a required byte
+            }
+          }
+      }
+    }, n = 400)
+  }
+
+  test("set-cover gate beats the single-token gate on the zipf corpus (skip rate)") {
+    val rnd = new Random(7)
+    val hot = Array(11, 12, 13)
+    val rows = (0 until 2000).map { i =>
+      val n = 30 + rnd.nextInt(60)
+      val base = Array.fill(n)(rnd.nextInt(40))
+      if (i % 50 == 0) hot.indices.foreach(j => base(5 + j) = hot(j))
+      base
+    }
+    val header = FsstTokenCodec.buildHeader(rows, ChunkStats.compute(rows))
+    val st = SymTab.fromBytes(header)
+    val enc = FsstTokenCodec.encoder(header)
+    val out = new ByteWriter()
+    val offsets = new Array[Int](rows.length + 1)
+    rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offsets(i + 1) = out.size }
+    val data = out.toBytes
+    val pm = new PatternMachine(Array(hot), st)
+    // the never-weaker floor: the smallest single-token code set
+    val floor = hot.toSeq
+      .filter(t => !ChunkStats.bloomHas(enc.escapedBloom, t))
+      .map(t => pm.codesContaining(t).length).filter(_ > 0)
+    pm.requiredCodeTable(enc.escapedBloom) match {
+      case Left(_) => fail("pattern is plainly spellable")
+      case Right(null) => assert(floor.isEmpty, "token gate existed but cover returned null")
+      case Right(tbl) =>
+        val size = tbl.count(identity)
+        if (floor.nonEmpty) assert(size <= floor.min, s"cover $size > token floor ${floor.min}")
+        // and it must actually skip: non-matching rows mostly lack the bytes
+        val passed = rows.indices.count { i =>
+          var p = offsets(i)
+          var hit = false
+          while (!hit && p < offsets(i + 1)) { hit = tbl(data(p) & 0xff); p += 1 }
+          hit
+        }
+        val matches = rows.count(TokenMatch.contains(_, hot))
+        assert(passed < rows.length, "gate passed every row - no skipping power")
+        assert(passed >= matches)
+    }
+  }
+
   // ---- dict-domain and RLE-domain matchers (PackedMatch) -----------------
 
   /** Runs-biased rows: bursts of repeated values so RLE is the natural codec

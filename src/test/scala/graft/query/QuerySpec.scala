@@ -82,6 +82,22 @@ class QuerySpec extends AnyFunSuite {
     dualRun(PatternMode.Contains, Seq(Seq(999999)))
   }
 
+  test("projecting tokens from the encoded view runs decode_row inside codegen") {
+    val view = Graft.encodedRows(chunks).select(col("doc_id"), col("tokens"))
+    val plan = view.queryExecution.executedPlan.toString()
+    assert(plan.contains("decode_row"), plan)
+    // the Project hosting decode_row must be inside a WholeStageCodegen stage
+    // (a CodegenFallback expression would split the stage)
+    val lines = plan.linesIterator.toSeq
+    val stage = lines.find(_.contains("decode_row")).get
+    assert(stage.trim.startsWith("*"), s"decode_row not codegen'd:\n$plan")
+    // and the decoded projection is correct
+    val bad = view.alias("d")
+      .join(input.toDF().alias("i"), Seq("doc_id"), "full_outer")
+      .filter(!(col("d.tokens") <=> col("i.tokens"))).count()
+    assert(bad == 0)
+  }
+
   test("dict-forced chunks: dual-run green via dict-domain (index) matching") {
     val dictChunks = EncodeJob.encode(input,
       EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some("dict")))
