@@ -76,6 +76,89 @@ object Soak {
       }
     }, 2000)
 
+    // --- round-2 kernels: RLE/dict-domain matchers, set-cover gate ---------
+
+    val genRunRow: Gen[Array[Int]] =
+      Gen.choose(0, 15).flatMap(k =>
+        Gen.listOfN(k, Gen.zip(Gen.choose(0, 4), Gen.choose(1, 7))))
+        .map(_.flatMap { case (v, c) => List.fill(c)(v) }.toArray)
+    val genRunPart: Gen[Array[Int]] =
+      Gen.choose(1, 3).flatMap(k =>
+        Gen.listOfN(k, Gen.zip(Gen.choose(0, 4), Gen.choose(1, 5))))
+        .map(_.flatMap { case (v, c) => List.fill(c)(v) }.toArray)
+
+    check("rle-domain-vs-oracle", Prop.forAll(Gen.listOfN(15, genRunRow),
+      Gen.choose(1, 3).flatMap(k => Gen.listOfN(k, genRunPart)).map(_.toArray)) { (rowsL, parts0) =>
+      val rows = rowsL.toIndexedSeq
+      val header = RleCodec.buildHeader(rows, ChunkStats.compute(rows))
+      val enc = RleCodec.encoder(header)
+      val out = new ByteWriter()
+      val offs = new Array[Int](rows.length + 1)
+      rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+      val data = out.toBytes
+      val one = Array(parts0(0))
+      val oneRs = one.map(RleMatch.patternRuns)
+      val mi = PatternMode.normalize(PatternMode.MultiInfix, parts0)
+      val miRs = mi.map(RleMatch.patternRuns)
+      rows.indices.forall { i =>
+        Seq(PatternMode.Contains, PatternMode.Prefix, PatternMode.Suffix, PatternMode.Equals)
+          .forall { m =>
+            RleMatch.eval(m, data, offs(i), offs(i + 1), oneRs.map(_._1), oneRs.map(_._2),
+              one.map(_.length)) == TokenMatch.eval(m, one, rows(i))
+          } &&
+          RleMatch.eval(PatternMode.MultiInfix, data, offs(i), offs(i + 1),
+            miRs.map(_._1), miRs.map(_._2), mi.map(_.length)) ==
+            TokenMatch.multiInfix(rows(i), mi)
+      }
+    }, 2000)
+
+    check("dict-domain-vs-oracle", Prop.forAll(Gen.listOfN(15, genRow), genPart) { (rowsL, part) =>
+      val rows0 = rowsL.toIndexedSeq
+      val rows = if (rows0.forall(_.isEmpty)) rows0 :+ Array(1) else rows0
+      val header = DictCodec.buildHeader(rows, ChunkStats.compute(rows))
+      val dict = DictCodec.readDict(header)
+      val enc = DictCodec.encoder(header)
+      val out = new ByteWriter()
+      val offs = new Array[Int](rows.length + 1)
+      rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+      val dec = DictCodec.indexDecoder(header)
+      rows.indices.forall { i =>
+        Seq(PatternMode.Contains, PatternMode.Prefix, PatternMode.Suffix, PatternMode.Equals)
+          .forall { m =>
+            val got = DictMatch.translate(dict, Array(part)) match {
+              case None => false
+              case Some(ip) => TokenMatch.eval(m, ip, dec.decode(out.toBytes, offs(i), offs(i + 1)))
+            }
+            got == TokenMatch.eval(m, Array(part), rows(i))
+          }
+      }
+    }, 2000)
+
+    check("set-cover-gate-sound", Prop.forAll(Gen.listOfN(20, genRow), genPart) { (rowsL, part) =>
+      val rows = rowsL.toIndexedSeq
+      val header = FsstTokenCodec.buildHeader(rows, ChunkStats.compute(rows))
+      val st = SymTab.fromBytes(header)
+      val enc = FsstTokenCodec.encoder(header)
+      val out = new ByteWriter()
+      val offs = new Array[Int](rows.length + 1)
+      rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+      val data = out.toBytes
+      val pm = new PatternMachine(Array(part), st)
+      pm.requiredCodeTable(enc.escapedBloom) match {
+        case Left(_) => rows.forall(r => !TokenMatch.contains(r, part))
+        case Right(null) => true
+        case Right(tbl) =>
+          rows.indices.forall { i =>
+            !TokenMatch.contains(rows(i), part) || {
+              var p = offs(i)
+              var hit = false
+              while (!hit && p < offs(i + 1)) { hit = tbl(data(p) & 0xff); p += 1 }
+              hit
+            }
+          }
+      }
+    }, 2000)
+
     println("SOAK OK")
   }
 }
