@@ -47,22 +47,34 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** ANN top-k via multi-table random-hyperplane LSH: L independent tables
-    * of nBits sign bits; candidates = union of the query's bucket across
-    * tables, scored exactly (precision 1.0; recall = 1-(1-p)^L). Few wide
-    * tables suit clustered embeddings; this fixture's embeddings are nearly
-    * isotropic, so the defaults trade scan fraction for recall.
+  /** Bucket-partitioned LSH index: one row per (vector, table) keyed by the
+    * vector's sign-hash bucket, repartitioned so each (tbl, bucket) group is
+    * co-located. Build once, reuse across queries — at 100 TB a query reads
+    * only its buckets' partitions, never the full table.
+    */
+  def lshIndex(emb: DataFrame, nBits: Int = 4, nTables: Int = 8,
+               seed: Long = 7L): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        posexplode(PipelineFunctions.lshBuckets(col("embedding"), nBits, nTables, seed))
+          .as(Seq("tbl", "bucket")))
+      .repartition(col("tbl"), col("bucket"))
+
+  /** ANN top-k via multi-table random-hyperplane LSH: candidates = vectors
+    * sharing a (table, bucket) key with the query — a BUCKET JOIN against
+    * the partitioned index (not a full-scan filter), scored exactly
+    * (precision 1.0; recall = 1-(1-p)^L). Few wide tables suit clustered
+    * embeddings; this fixture's embeddings are nearly isotropic, so the
+    * defaults trade scan fraction for recall.
     */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 4,
               nTables: Int = 8, dims: Int = 64, seed: Long = 7L): DataFrame = {
-    val withBuckets = emb.withColumn("buckets",
-      PipelineFunctions.lshBuckets(col("embedding"), nBits, nTables, seed))
-    val q = broadcast(withBuckets.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets")))
-    withBuckets.filter(col("vec_id") =!= queryId)
-      .crossJoin(q)
-      .filter(exists(zip_with(col("buckets"), col("q_buckets"), (a, b) => a === b),
-        x => x))
+    val index = lshIndex(emb, nBits, nTables, seed)
+    val q = broadcast(index.filter(col("vec_id") === queryId)
+      .select(col("tbl"), col("bucket"), col("embedding").as("q_emb")))
+    index.filter(col("vec_id") =!= queryId)
+      .join(q, Seq("tbl", "bucket"))
+      .select(col("vec_id"), col("embedding"), col("q_emb"))
+      .dropDuplicates("vec_id")
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
       .orderBy(desc("cos"), col("vec_id"))
       .select(col("vec_id"), col("cos"))
@@ -75,13 +87,18 @@ object Similarity {
     * reads nprobe/nlist of the data.
     */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
-              nprobe: Int = 4, seed: Long = 11L): DataFrame = {
+              nprobe: Int = 4, seed: Long = 11L,
+              fitSampleFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = emb.withColumn("__vec", array_to_vector(col("embedding")))
+    // at 100 TB the coarse quantizer trains on a deterministic sample (a few
+    // hundred points per centroid suffice); assignment still covers all rows
+    val fitOn = if (fitSampleFraction < 1.0)
+      withVec.sample(withReplacement = false, fitSampleFraction, seed) else withVec
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__vec").setPredictionCol("__cell")
-      .fit(withVec)
+      .fit(fitOn)
     val assigned = model.transform(withVec)
     val qRow = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding")).head()
