@@ -71,18 +71,40 @@ object FsstTokenCodec extends ChunkCodec {
 
   def decoder(header: Array[Byte]): RowDecoder = new RowDecoder {
     private val st = SymTab.fromBytes(header)
+    private val flat = st.flatTokens
+    private val flatOff = st.flatOffsets
+    // Hot-loop discipline (the JVM analog of the reference's word-wise
+    // decode fast path, /root/reference/src/FsstWrapper.hpp:89-110): a local
+    // cursor instead of ByteReader field traffic, inlined varints, and one
+    // flat contiguous symbol array instead of jagged double indirection.
     def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] = {
-      val r = new ByteReader(bytes, from, to)
-      val n = r.readVarUInt()
+      var pos = from
+      var n = 0
+      var shift = 0
+      var b0 = 0
+      do {
+        b0 = bytes(pos) & 0xff; pos += 1
+        n |= (b0 & 0x7f) << shift; shift += 7
+      } while ((b0 & 0x80) != 0)
       val out = new Array[Int](n)
       var k = 0
       while (k < n) {
-        val b = r.readByte()
-        if (b == SymTab.EscapeCode) { out(k) = r.readZigZag(); k += 1 }
-        else {
-          val s = st.symbol(b)
-          var j = 0
-          while (j < s.length) { out(k) = s(j); k += 1; j += 1 }
+        val c = bytes(pos) & 0xff
+        pos += 1
+        if (c == SymTab.EscapeCode) {
+          var u = 0
+          var sh = 0
+          var bb = 0
+          do {
+            bb = bytes(pos) & 0xff; pos += 1
+            u |= (bb & 0x7f) << sh; sh += 7
+          } while ((bb & 0x80) != 0)
+          out(k) = (u >>> 1) ^ -(u & 1)
+          k += 1
+        } else {
+          var j = flatOff(c)
+          val e = flatOff(c + 1)
+          while (j < e) { out(k) = flat(j); k += 1; j += 1 }
         }
       }
       out

@@ -51,6 +51,20 @@ final class SymTab(val syms: Array[Array[Int]]) extends Serializable {
   def symbol(code: Int): Array[Int] = syms(code)
   def symLen(code: Int): Int = syms(code).length
 
+  /** Flattened symbol storage for the decode hot loop: symbol c's tokens at
+    * flatTokens[flatOffsets(c) until flatOffsets(c+1)) — one indirection and
+    * contiguous reads instead of a jagged Array[Array[Int]].
+    */
+  @transient lazy val (flatTokens, flatOffsets): (Array[Int], Array[Int]) = {
+    val off = new Array[Int](syms.length + 1)
+    var i = 0
+    while (i < syms.length) { off(i + 1) = off(i) + syms(i).length; i += 1 }
+    val f = new Array[Int](off(syms.length))
+    i = 0
+    while (i < syms.length) { System.arraycopy(syms(i), 0, f, off(i), syms(i).length); i += 1 }
+    (f, off)
+  }
+
   /** Longest symbol matching tokens[pos until end); -1 if none. */
   def longestMatch(tokens: Array[Int], pos: Int, end: Int): Int = {
     val t0 = tokens(pos)
