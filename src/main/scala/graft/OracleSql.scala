@@ -180,6 +180,49 @@ object OracleSql {
        |ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, c.vec_id
        |LIMIT $k""".stripMargin
 
+  /** Sign-centroid masks for the SQL-reproducible IVF quantizer (bit d of
+    * mask t = mix64(seed + 1000t + d) & 1 — the same constants SignDots
+    * derives per row).
+    */
+  private def signCentroidValues(seed: Long, nlist: Int, dims: Int): String = {
+    val rows = for (t <- 0 until nlist) yield {
+      var mask = BigInt(0)
+      for (d <- 0 until dims)
+        if ((Hashing.mix64(seed + 1000L * t + d) & 1L) == 1L) mask = mask.setBit(d)
+      s"($t, $mask::UBIGINT)"
+    }
+    rows.mkString(", ")
+  }
+
+  /** IVF ANN with the seeded sign-vector quantizer
+    * (Similarity.ivfSignTopK semantics): cell = argmax centroid dot with
+    * (dot desc, t asc) tie-break; probe the query's top-nprobe cells; exact
+    * cosine top-k over the probed cells.
+    */
+  def ivfSignSql(queryId: Long, k: Int, nlist: Int, nprobe: Int,
+                 seed: Long, dims: Int = 64): String =
+    s"""WITH __sc(t, mask) AS (VALUES ${signCentroidValues(seed, nlist, dims)}),
+       |__dots AS MATERIALIZED (
+       |  SELECT e.vec_id, s.t,
+       |         sum(e.embedding[CAST(d.range AS INT) + 1] *
+       |             (CASE WHEN (s.mask >> CAST(d.range AS INT)) & 1 = 1 THEN 1.0 ELSE -1.0 END)) AS dot
+       |  FROM embeddings e, __sc s, range($dims) d GROUP BY 1, 2),
+       |__cell AS MATERIALIZED (
+       |  SELECT vec_id, t AS cell FROM (
+       |    SELECT vec_id, t, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, t) AS rn
+       |    FROM __dots) WHERE rn = 1),
+       |__probe AS (
+       |  SELECT t FROM (
+       |    SELECT t, row_number() OVER (ORDER BY dot DESC, t) AS rn
+       |    FROM __dots WHERE vec_id = $queryId) WHERE rn <= $nprobe)
+       |SELECT c.vec_id FROM __cell c
+       |JOIN __probe p ON c.cell = p.t
+       |JOIN embeddings e ON e.vec_id = c.vec_id
+       |JOIN embeddings q ON q.vec_id = $queryId
+       |WHERE c.vec_id <> $queryId
+       |ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, c.vec_id
+       |LIMIT $k""".stripMargin
+
   /** Language-ID prediction histogram (TextAnalysis.langId semantics):
     * per-language stopword-profile scores, argmax with alphabetical-first
     * tie-break, 'und' when no profile matches. Profiles are read from

@@ -61,8 +61,12 @@ object PipelineQueries {
     Similarity.lshTopK(emb(spark, dir), queryId = 0L, k = 10)
       .select(col("vec_id"))
 
+  /** Shipped IVF query uses the seeded sign-vector quantizer — exactly
+    * SQL-reproducible (OracleSql.ivfSignSql); the KMeans quantizer variant
+    * (Similarity.ivfTopK) is held to a recall floor in PipelineSpec instead.
+    */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(emb(spark, dir), queryId = 0L, k = 10)
+    Similarity.ivfSignTopK(emb(spark, dir), queryId = 0L, k = 10)
       .select(col("vec_id"))
 
   // --- text analysis -----------------------------------------------------
@@ -154,6 +158,8 @@ object PipelineQueries {
       OracleSql.embeddingNearDupsSql(tau = 0.5, nBits = 8, nTables = 12, seed = 3L),
     "q_ann_lsh" ->
       OracleSql.annLshSql(queryId = 0L, k = 10, nBits = 4, nTables = 8, seed = 7L),
+    "q_ann_ivf" ->
+      OracleSql.ivfSignSql(queryId = 0L, k = 10, nlist = 16, nprobe = 4, seed = 13L),
     "q_dedup_simhash" -> OracleSql.simhashSql(maxHamming = 3),
     "q_fingerprint_pairs" -> OracleSql.fingerprintSql(k = 5, w = 4, minShared = 2),
     "q_lang_id" -> OracleSql.langIdSql(),

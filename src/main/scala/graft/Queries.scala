@@ -121,6 +121,15 @@ object Queries {
         sum(col("n_tokens")).as("tokens"),
         sum(length(col("data")) + length(col("symtab")) + length(col("offsets"))).as("bytes"))
 
+  /** Accounting invariant with an exact SQL oracle: whatever codecs the
+    * auto-selector picks, the chunk table must account for every corpus row
+    * and token exactly once.
+    */
+  def codecTotals(spark: SparkSession, dir: String): DataFrame =
+    autoChunks(spark, dir)
+      .agg(sum(col("row_count")).cast("bigint").as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+
   // ---------------------------------------------------------------------
   // oracles
   // ---------------------------------------------------------------------
@@ -146,7 +155,10 @@ object Queries {
     "q_token_count_by_source" ->
       s"""SELECT source, count(*) AS n_docs,
          | CAST(sum($ntokSql) AS BIGINT) AS sum_tokens
-         | FROM documents GROUP BY source""".stripMargin
+         | FROM documents GROUP BY source""".stripMargin,
+    "q_codec_totals" ->
+      s"""SELECT count(*) AS n_docs, CAST(sum($ntokSql) AS BIGINT) AS n_tokens
+         | FROM documents""".stripMargin
   )
 
   val engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -157,6 +169,7 @@ object Queries {
     "q_multi_infix_tokens" -> (multiInfixTokens _),
     "q_not_contains_tokens" -> (notContainsTokens _),
     "q_token_count_by_source" -> (tokenCountBySource _),
-    "q_codec_stats" -> (codecStats _)
+    "q_codec_stats" -> (codecStats _),
+    "q_codec_totals" -> (codecTotals _)
   )
 }

@@ -208,6 +208,36 @@ case class LshBuckets(child: Expression, nBits: Int, nTables: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** sign_dots(emb): dot products of the embedding against nCentroids
+  * deterministic ±1 sign vectors (centroid t, dim d: sign of
+  * mix64(seed + 1000t + d) & 1). The coarse quantizer for the
+  * SQL-reproducible IVF variant: cell = argmax dot (all sign centroids have
+  * equal norm, so argmax dot = argmin L2).
+  */
+case class SignDots(child: Expression, nCentroids: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sign_dots"
+  override protected def nullSafeEval(v: Any): Any = {
+    val emb = v.asInstanceOf[ArrayData].toFloatArray()
+    val out = new Array[Double](nCentroids)
+    var t = 0
+    while (t < nCentroids) {
+      var dot = 0.0
+      var d = 0
+      while (d < emb.length) {
+        val sign = if ((Hashing.mix64(seed + 1000L * t + d) & 1L) == 1L) 1.0 else -1.0
+        dot += emb(d) * sign
+        d += 1
+      }
+      out(t) = dot
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object PipelineFunctions {
   import GraftBridge.{column => mk, expression => ex}
   def shingleHashes(tokens: Column, n: Int): Column = mk(ShingleHashes(ex(tokens), n))
@@ -217,4 +247,6 @@ object PipelineFunctions {
   def cosineSim(a: Column, b: Column): Column = mk(CosineSim(ex(a), ex(b)))
   def lshBuckets(emb: Column, nBits: Int, nTables: Int, seed: Long): Column =
     mk(LshBuckets(ex(emb), nBits, nTables, seed))
+  def signDots(emb: Column, nCentroids: Int, seed: Long): Column =
+    mk(SignDots(ex(emb), nCentroids, seed))
 }

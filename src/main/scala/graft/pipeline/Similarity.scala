@@ -86,6 +86,38 @@ object Similarity {
     * exactly. The scale path: the table is partitioned by cell once; a query
     * reads nprobe/nlist of the data.
     */
+  /** IVF with a seeded SIGN-VECTOR coarse quantizer: centroids are ±1
+    * vectors derived from splitmix64, cell = argmax dot (equal-norm
+    * centroids make that argmin L2). Same inverted-file structure and
+    * nprobe behavior as the KMeans variant below, but the quantizer is a
+    * pure function of the seed — the whole query is exactly reproducible by
+    * a SQL oracle (OracleSql.ivfSignSql). On isotropic corpora the recall
+    * matches KMeans cells (no cluster structure to learn); on clustered
+    * corpora prefer ivfTopK.
+    */
+  def ivfSignTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
+                  nprobe: Int = 4, seed: Long = 13L): DataFrame = {
+    val withDots = emb.withColumn("__dots",
+      PipelineFunctions.signDots(col("embedding"), nlist, seed))
+    // argmax = first index achieving the max (1-based array_position), the
+    // same (dot desc, t asc) tie-break the oracle's row_number uses
+    val assigned = withDots.withColumn("__cell",
+      (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
+    val qRow = assigned.filter(col("vec_id") === queryId)
+      .select(col("__dots")).head()
+    val probe = qRow.getSeq[Double](0).zipWithIndex
+      .sortBy { case (dot, t) => (-dot, t) }.take(nprobe).map(_._2)
+    val qDf = broadcast(assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb")))
+    assigned.filter(col("__cell").isin(probe.map(Integer.valueOf): _*) &&
+        col("vec_id") =!= queryId)
+      .crossJoin(qDf)
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .orderBy(desc("cos"), col("vec_id"))
+      .select(col("vec_id"), col("cos"))
+      .limit(k)
+  }
+
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
               nprobe: Int = 4, seed: Long = 11L,
               fitSampleFraction: Double = 1.0): DataFrame = {
