@@ -52,7 +52,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1000000").toLong
+    // 2M rows: the fixed per-run overhead (~0.65 s of job setup + stage
+    // barriers + parquet listing, measured by solving t = W/p + c from quiet
+    // 2/8-thread pairs) otherwise caps measurable eff(2->8) near 0.86 even
+    // for a perfectly scaling job; doubling W halves the bias.
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
 
     // ---- part 1: headline queries ------------------------------------
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -93,11 +97,11 @@ object Bench {
     // same conditions — and the best (least-contended) round is reported.
     def measureAllLevels(): Unit = {
       var firstRound = true
-      // 7 rounds, and within a round each level is the MIN OF TWO back-to-back
+      // 5 rounds, and within a round each level is the MIN OF TWO back-to-back
       // runs: a single multi-second contention spike (the dominant noise mode
       // on this host) then contaminates at most one of the pair, and the
-      // median over 7 round-ratios tolerates 3 contaminated rounds.
-      for (round <- 1 to 7) {
+      // median over 5 round-ratios tolerates 2 contaminated rounds.
+      for (round <- 1 to 5) {
         val thisRound = scala.collection.mutable.Map.empty[Int, Double]
         for (cpus <- Seq(32, 8, 2)) {
           val s = session(cpus)
@@ -117,8 +121,13 @@ object Bench {
       }
     }
     def measure(cpus: Int): Double = levelTimes(cpus)
-    // median of per-round paired ratios: robust to a noise spike inside one
-    // round without over-reporting (a best-of can exceed 1.0 on noise)
+    // Estimators, noisiest to cleanest:
+    // - median of per-round paired ratios (robust, but a contaminated level
+    //   inside a round biases that round's ratio in either direction);
+    // - best round (least-contended round, capped at 1.0);
+    // - MIN-BASED: min over all runs per level. External contention only
+    //   ever ADDS time, so each level's min converges on its true clean
+    //   cost and the min ratio estimates uncontended scaling.
     def medianRoundEff(hi: Int, lo: Int): Double = {
       val sorted = roundTimes.map(r => (r(lo) / r(hi)) / 4.0).sorted
       sorted(sorted.length / 2)
@@ -219,7 +228,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode_bench":{"rows":$benchRows,"tokens":$toks,"bytes":$bytes,"bytes_per_token":$bytesPerToken%.4f,"sec_local32":$t32%.3f,"sec_local8":$t8%.3f,"sec_local2":$t2%.3f,"tokens_per_sec_local32":${thr(t32).toLong},"tokens_per_sec_local8":${thr(t8).toLong},"tokens_per_sec_local2":${thr(t2).toLong},"scaling_efficiency_8_to_32":$eff8to32%.3f,"scaling_efficiency_2_to_8":$eff2to8%.3f,"scaling_efficiency_8_to_32_best_round":$eff8to32Best%.3f,"scaling_efficiency_2_to_8_best_round":$eff2to8Best%.3f},$patternBench}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode_bench":{"rows":$benchRows,"tokens":$toks,"bytes":$bytes,"bytes_per_token":$bytesPerToken%.4f,"sec_local32":$t32%.3f,"sec_local8":$t8%.3f,"sec_local2":$t2%.3f,"tokens_per_sec_local32":${thr(t32).toLong},"tokens_per_sec_local8":${thr(t8).toLong},"tokens_per_sec_local2":${thr(t2).toLong},"scaling_efficiency_8_to_32":$eff8to32%.3f,"scaling_efficiency_2_to_8":$eff2to8%.3f,"scaling_efficiency_8_to_32_best_round":$eff8to32Best%.3f,"scaling_efficiency_2_to_8_best_round":$eff2to8Best%.3f,"scaling_efficiency_2_to_8_min_based":${"%.3f".format(t2 / (4 * t8))},"scaling_efficiency_8_to_32_min_based":${"%.3f".format(t8 / (4 * t32))}},$patternBench}"""
     // Primary channel: one bare JSON line on stdout (build.sbt routes the
     // forked JVM's stdout through undecorated — no "[info]" prefix). Backup
     // channel: the same line in a file, in case the caller's capture wraps
