@@ -97,18 +97,19 @@ object Bench {
     // same conditions — and the best (least-contended) round is reported.
     def measureAllLevels(): Unit = {
       var firstRound = true
-      // 5 rounds, and within a round each level is the MIN OF TWO back-to-back
-      // runs: a single multi-second contention spike (the dominant noise mode
-      // on this host) then contaminates at most one of the pair, and the
-      // median over 5 round-ratios tolerates 2 contaminated rounds.
-      for (round <- 1 to 5) {
+      // 4 rounds, each level the MIN OF THREE back-to-back runs: contention
+      // spikes are multi-second and intermittent, so a per-(round, level)
+      // min-of-3 is clean unless the spike outlasts all three runs; the
+      // median over 4 round-ratios then tolerates a fully-contaminated round.
+      for (round <- 1 to 4) {
         val thisRound = scala.collection.mutable.Map.empty[Int, Double]
         for (cpus <- Seq(32, 8, 2)) {
           val s = session(cpus)
           if (firstRound) encodeRun(s, inputPath, 64) // JIT warm-up
           val (sec1, t, b) = encodeRun(s, inputPath, 64)
           val (sec2, _, _) = encodeRun(s, inputPath, 64)
-          val sec = math.min(sec1, sec2)
+          val (sec3, _, _) = encodeRun(s, inputPath, 64)
+          val sec = math.min(math.min(sec1, sec2), sec3)
           toks = t; bytes = b
           thisRound(cpus) = sec
           if (sec < levelTimes(cpus)) levelTimes(cpus) = sec

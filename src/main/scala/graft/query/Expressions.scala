@@ -5,6 +5,7 @@ import graft.format.Offsets
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -186,7 +187,7 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
   * skipped (chunk-level analog of required-symbol skipping, SURVEY.md §4 O4).
   */
 case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[Seq[Int]])
-    extends Expression with CodegenFallback {
+    extends Expression {
   // children: doc_ids, data, offsets, row_count, symtab, codec, bloom, escaped_bloom
   private val partsArr: Array[Array[Int]] =
     PatternMode.normalize(mode, parts.map(_.toArray).toArray)
@@ -195,6 +196,31 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = s"chunk_match_$mode"
+
+  // One eval per CHUNK row, but keeping it codegen'd keeps the enclosing
+  // scan + Generate inside a single WholeStageCodegen stage.
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("chunkMatch", this, classOf[ChunkMatchDocIds].getName)
+    val evals = children.map(_.genCode(ctx))
+    val anyNull = evals.map(_.isNull).mkString(" || ")
+    val args = Seq(
+      s"(byte[]) ${evals(0).value}", s"(byte[]) ${evals(1).value}",
+      s"(byte[]) ${evals(2).value}", s"(int) ${evals(3).value}",
+      s"(byte[]) ${evals(4).value}", s"(org.apache.spark.unsafe.types.UTF8String) ${evals(5).value}",
+      s"(byte[]) ${evals(6).value}", s"(byte[]) ${evals(7).value}").mkString(", ")
+    val code =
+      code"""
+        ${evals.map(_.code).mkString("\n")}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if ($anyNull) {
+          ${ev.value} = $ref.emptyResult();
+        } else {
+          ${ev.value} = $ref.matchChunk($args);
+        }
+      """
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   /** Any byte of the row in `table`? Conservative: varint bytes may alias a
     * code (false positive → row just runs the DFA), never a false negative.
@@ -209,20 +235,28 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
     false
   }
 
+  def emptyResult(): org.apache.spark.sql.catalyst.util.ArrayData =
+    new GenericArrayData(Array.empty[Any])
+
   override def eval(input: InternalRow): Any = {
-    val packedIds = children(0).eval(input).asInstanceOf[Array[Byte]]
-    val bloom = children(6).eval(input).asInstanceOf[Array[Byte]]
+    val vals = children.map(_.eval(input))
+    if (vals.contains(null)) emptyResult()
+    else matchChunk(vals(0).asInstanceOf[Array[Byte]], vals(1).asInstanceOf[Array[Byte]],
+      vals(2).asInstanceOf[Array[Byte]], vals(3).asInstanceOf[Int],
+      vals(4).asInstanceOf[Array[Byte]], vals(5).asInstanceOf[UTF8String],
+      vals(6).asInstanceOf[Array[Byte]], vals(7).asInstanceOf[Array[Byte]])
+  }
+
+  def matchChunk(packedIds: Array[Byte], data: Array[Byte], offBytes: Array[Byte],
+                 rowCount: Int, header: Array[Byte], codecU: UTF8String,
+                 bloom: Array[Byte], escaped: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
     // chunk skip: every pattern token must be (possibly) present
     var t = 0
     while (t < neededTokens.length) {
       if (!ChunkStats.bloomHas(bloom, neededTokens(t))) return new GenericArrayData(Array.empty[Any])
       t += 1
     }
-    val data = children(1).eval(input).asInstanceOf[Array[Byte]]
-    val offBytes = children(2).eval(input).asInstanceOf[Array[Byte]]
-    val rowCount = children(3).eval(input).asInstanceOf[Int]
-    val header = children(4).eval(input).asInstanceOf[Array[Byte]]
-    val codec = children(5).eval(input).asInstanceOf[UTF8String].toString
+    val codec = codecU.toString
     val offs = Offsets.unpack(offBytes, rowCount)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     val idCursor = new graft.core.ByteReader(packedIds, 0, packedIds.length)
@@ -234,10 +268,8 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
     if (codec == FsstTokenCodec.name) {
       val st = EvalCaches.symtab(header)
       val pm = PatternMachine.forTable(st, patternId, partsArr)
-      // row-level required-code scan (F6): when no pattern token occurs
-      // escaped in this chunk, a match must touch one of the codes whose
-      // symbol spells the rarest pattern token — cheap byte scan before DFA.
-      val escaped = children(7).eval(input).asInstanceOf[Array[Byte]]
+      // row-level required-code scan (F6): spelling-path set cover — a
+      // match must touch a required code; cheap byte scan before the DFA.
       val required = pm.requiredCodeTable(escaped) match {
         case scala.util.Left(_) => return new GenericArrayData(Array.empty[Any]) // provably no match
         case scala.util.Right(tbl) => tbl
