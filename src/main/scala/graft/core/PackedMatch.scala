@@ -43,6 +43,70 @@ object DictMatch {
   }
 }
 
+/** Equality without decode for ANY positional codec: every encoder is a
+  * canonical (deterministic, row-content-only) function, so
+  * `row == pattern  ⟺  encode(row) == encode(pattern)` — one byte compare
+  * per row. The reference's constant-re-encode equality pushdown (E5)
+  * generalized beyond FSST. Guards reject patterns whose encoding would
+  * ALIAS a different value (token outside the dict, or outside the chunk's
+  * bit-pack width — where packing truncates silently).
+  */
+object PackedEquals {
+
+  /** Encoded image of `part` under the chunk's codec; None = the pattern
+    * provably cannot equal any row of this chunk.
+    */
+  def patternImage(codecName: String, header: Array[Byte], part: Array[Int]): Option[Array[Byte]] = {
+    codecName match {
+      case DictCodec.name =>
+        val dict = DictCodec.readDict(header)
+        var i = 0
+        while (i < part.length) {
+          if (java.util.Arrays.binarySearch(dict, part(i)) < 0) return None
+          i += 1
+        }
+      case BitPackCodec.name =>
+        val width = header(0) & 0xff
+        val max = if (width >= 32) Long.MaxValue else (1L << width) - 1
+        var i = 0
+        while (i < part.length) {
+          if (part(i) < 0 || part(i) > max) return None
+          i += 1
+        }
+      case ForCodec.name =>
+        if (part.nonEmpty) {
+          val width = header(0) & 0xff
+          var min = part(0)
+          var max = part(0)
+          var i = 1
+          while (i < part.length) {
+            if (part(i) < min) min = part(i)
+            if (part(i) > max) max = part(i)
+            i += 1
+          }
+          val cap = if (width >= 32) Long.MaxValue else (1L << width) - 1
+          if (max.toLong - min.toLong > cap) return None
+        }
+      case RleCodec.name | RawCodec.name => // varints encode any int faithfully
+      case _ => return None // fsst has its own compressed-domain equals
+    }
+    val w = new ByteWriter(part.length * 3 + 8)
+    Codecs.byName(codecName).encoder(header).encode(part, w)
+    Some(w.toBytes)
+  }
+
+  /** Does the encoded row slice equal the pattern image byte-for-byte? */
+  def rowEquals(bytes: Array[Byte], from: Int, to: Int, image: Array[Byte]): Boolean = {
+    if (to - from != image.length) return false
+    var i = 0
+    while (i < image.length) {
+      if (bytes(from + i) != image(i)) return false
+      i += 1
+    }
+    true
+  }
+}
+
 /** Run-level matching on the RLE row byte stream (varUInt n, then
   * {varUInt run, zigzag value}*). Rows are materialized as run arrays (~n /
   * mean-run-length entries), never as tokens.

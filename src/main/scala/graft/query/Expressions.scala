@@ -137,6 +137,9 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
   @transient private lazy val dictParts =
     new HeaderCache[Option[Array[Array[Int]]]](
       h => DictMatch.translate(EvalCaches.dict(h), partsArr))
+  // equals-mode pattern image per (codec, header) — canonical-encoding E5
+  @transient private lazy val equalsImages =
+    scala.collection.concurrent.TrieMap.empty[String, HeaderCache[Option[Array[Byte]]]]
   override def first: Expression = enc
   override def second: Expression = header
   override def third: Expression = codecName
@@ -149,6 +152,15 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
       val st = EvalCaches.symtab(headerBytes)
       val pm = PatternMachine.forTable(st, patternId, partsArr)
       FsstMatch.eval(mode, pm, bytes, 0, bytes.length)
+    } else if (mode == PatternMode.Equals) {
+      // canonical-encoding equality (E5): one byte compare per row
+      equalsImages.getOrElseUpdate(codec,
+        new HeaderCache[Option[Array[Byte]]](
+          h => PackedEquals.patternImage(codec, h, partsArr(0))))
+        .get(headerBytes) match {
+        case None => false
+        case Some(img) => PackedEquals.rowEquals(bytes, 0, bytes.length, img)
+      }
     } else if (codec == DictCodec.name) {
       dictParts.get(headerBytes) match {
         case None => false // a pattern token is outside this chunk's dictionary
@@ -279,6 +291,18 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
         nextId((required == null || rowHasRequired(data, offs(i), offs(i + 1), required)) &&
           FsstMatch.eval(mode, pm, data, offs(i), offs(i + 1)))
         i += 1
+      }
+    } else if (mode == PatternMode.Equals) {
+      // canonical-encoding equality (E5): encode the pattern once with this
+      // chunk's codec, then one byte compare per row
+      PackedEquals.patternImage(codec, header, partsArr(0)) match {
+        case None => return new GenericArrayData(Array.empty[Any])
+        case Some(img) =>
+          var i = 0
+          while (i < rowCount) {
+            nextId(PackedEquals.rowEquals(data, offs(i), offs(i + 1), img))
+            i += 1
+          }
       }
     } else if (codec == DictCodec.name) {
       // dict-domain matching: translate the pattern to dictionary indices

@@ -242,6 +242,31 @@ class MatcherSpec extends AnyFunSuite {
     })
   }
 
+  test("canonical-encoding equality agrees with token oracle for every positional codec (property)") {
+    // patterns sometimes contain tokens outside the chunk's value range to
+    // exercise the aliasing guards (dict-absent, bitpack width, FoR range)
+    val genEqPart: Gen[Array[Int]] = Gen.choose(0, 8).flatMap(n =>
+      Gen.containerOfN[Array, Int](n, Gen.frequency(
+        8 -> Gen.choose(0, 6), 1 -> Gen.const(999), 1 -> Gen.const(-5))))
+    checkProp(Prop.forAll(Gen.listOfN(20, genRow), genEqPart) { (rowsL, part) =>
+      val rows0 = rowsL.toIndexedSeq
+      val rows = if (rows0.forall(_.isEmpty)) rows0 :+ Array(1, 2) else rows0
+      val stats = ChunkStats.compute(rows)
+      Seq(DictCodec, RleCodec, ForCodec, BitPackCodec, RawCodec).forall { codec =>
+        val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+          !((codec eq BitPackCodec) && stats.minTok < 0)
+        !eligible || {
+          val (header, data, off) = encodeWith(codec, rows)
+          val image = PackedEquals.patternImage(codec.name, header, part)
+          rows.indices.forall { i =>
+            val got = image.exists(img => PackedEquals.rowEquals(data, off(i), off(i + 1), img))
+            got == TokenMatch.equalsPat(rows(i), part)
+          }
+        }
+      }
+    }, n = 300)
+  }
+
   test("zipf corpus: planted phrase found exactly (hero %special% analog)") {
     val rnd = new Random(42)
     val hot = Array(1001, 1002, 1003) // "special requests" analog

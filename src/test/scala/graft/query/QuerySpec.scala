@@ -109,6 +109,7 @@ class QuerySpec extends AnyFunSuite {
         PatternMode.Prefix -> Seq(Seq(v("key"))),
         PatternMode.Suffix -> Seq(Seq(v("value"))),
         PatternMode.MultiInfix -> Seq(Seq(v("table")), Seq(v("scan"))),
+        PatternMode.Equals -> Seq(Seq(v("value"))),
         PatternMode.Contains -> Seq(Seq(999999)))) { // outside every dictionary
       val want = input.toDF().filter(mkPred(mode, parts, col("tokens"))).select("doc_id")
       val gotScan = Graft.scanPattern(dictChunks, mode, parts)
@@ -129,6 +130,7 @@ class QuerySpec extends AnyFunSuite {
         PatternMode.Contains -> Seq(Seq(1)),
         PatternMode.Prefix -> Seq(Seq(0)),
         PatternMode.Suffix -> Seq(Seq(2)),
+        PatternMode.Equals -> Seq(Seq(1, 1, 1)),
         PatternMode.MultiInfix -> Seq(Seq(0), Seq(1)))) {
       val want = runs.toDF().filter(mkPred(mode, parts, col("tokens"))).select("doc_id")
       val gotScan = Graft.scanPattern(rleChunks, mode, parts)
