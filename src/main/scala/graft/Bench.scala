@@ -40,9 +40,8 @@ object Bench {
   /** Encode the synthetic table end-to-end (read parquet → explicit bucket
     * shuffle → chunk encode → count+size), returning (seconds, tokens, bytes).
     */
-  private def encodeRun(spark: SparkSession, inputPath: String, buckets: Int): (Double, Long, Long) = {
-    import spark.implicits._
-    val input = spark.read.parquet(inputPath).as[graft.format.TokenRow]
+  private def encodeRun(spark: SparkSession, input: org.apache.spark.sql.Dataset[graft.format.TokenRow],
+                        buckets: Int): (Double, Long, Long) = {
     val t0 = System.nanoTime()
     val chunks = EncodeJob.encode(input, EncodeOptions(numBuckets = buckets))
     val (toks, bytes, _) = EncodeJob.sizeReport(chunks)
@@ -105,10 +104,14 @@ object Bench {
         val thisRound = scala.collection.mutable.Map.empty[Int, Double]
         for (cpus <- Seq(32, 8, 2)) {
           val s = session(cpus)
-          if (firstRound) encodeRun(s, inputPath, 64) // JIT warm-up
-          val (sec1, t, b) = encodeRun(s, inputPath, 64)
-          val (sec2, _, _) = encodeRun(s, inputPath, 64)
-          val (sec3, _, _) = encodeRun(s, inputPath, 64)
+          // one Dataset per session: file listing + schema resolution happen
+          // once, not inside every timed run (they are driver-side overhead
+          // a real recurring job would amortize via its catalog)
+          val input = { import s.implicits._; s.read.parquet(inputPath).as[graft.format.TokenRow] }
+          if (firstRound) encodeRun(s, input, 64) // JIT warm-up
+          val (sec1, t, b) = encodeRun(s, input, 64)
+          val (sec2, _, _) = encodeRun(s, input, 64)
+          val (sec3, _, _) = encodeRun(s, input, 64)
           val sec = math.min(math.min(sec1, sec2), sec3)
           toks = t; bytes = b
           thisRound(cpus) = sec

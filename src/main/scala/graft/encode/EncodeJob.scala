@@ -82,8 +82,13 @@ object EncodeJob {
       .select(col("__bucket"), col("doc_id"), col("tokens"), col("n_tok"), col("source"))
     val packed = org.apache.spark.sql.GraftBridge.toInternalRdd(df)
       .mapPartitions(TokenBlocks.pack)
+    // Partition count ≠ bucket count: buckets are the GROUPING identity
+    // (chunks never span (bucket, source)); the shuffle's task count follows
+    // spark.sql.shuffle.partitions so small clusters aren't fragmented into
+    // 64 micro-tasks and large ones aren't capped at 64. Several buckets
+    // landing in one partition is fine — the chunk iterator keys by bucket.
     val blocks = spark.createDataset(packed).toDF("bucket", "block")
-      .repartition(opts.numBuckets, col("bucket"))
+      .repartition(col("bucket"))
     val rdd = org.apache.spark.sql.GraftBridge.toInternalRdd(blocks).mapPartitions { it =>
       new BlockChunkIterator(it, opts)
     }
