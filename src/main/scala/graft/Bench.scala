@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions.col
 object Bench {
 
   private def session(cpus: Int): SparkSession = {
+    // Scan splits must outnumber threads for decent packing: the ~0.8 GB
+    // bench input is only ~7 splits at the default 128 MB, which leaves
+    // threads idle at local[8]/[32] and under-reports scaling. Aim for
+    // ≥3–4 waves of map tasks per thread (SCALE.md §4 tuning knob).
+    val maxPartitionBytes = math.max((1L << 30) / (4L * cpus), 16L << 20)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
       .config("spark.sql.shuffle.partitions", math.max(cpus, 8).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
