@@ -60,6 +60,12 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val ivfRecall = bf.intersect(ivf).size.toDouble / bf.size
     assert(ivfRecall >= 0.4, s"IVF recall too low: $ivfRecall (bf=$bf ivf=$ivf)")
+    // the shipped (SQL-reproducible) sign-quantizer variant: same structure,
+    // comparable recall on this isotropic fixture
+    val ivfSign = Similarity.ivfSignTopK(emb, 0L, 10, nlist = 16, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val signRecall = bf.intersect(ivfSign).size.toDouble / bf.size
+    assert(signRecall >= 0.4, s"sign-IVF recall too low: $signRecall (bf=$bf got=$ivfSign)")
   }
 
   test("embedding near-dups: LSH blocking has precision 1.0 vs exact all-pairs") {
