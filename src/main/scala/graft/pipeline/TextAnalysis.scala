@@ -77,10 +77,25 @@ object TextAnalysis {
 
   /** Fingerprint-sharing pairs: explode + self-join on fingerprint value —
     * the shuffle-on-key plan that replaces all-pairs containment checks.
+    *
+    * `maxPostings` (off by default — the shipped query is held to an exact
+    * SQL oracle) is the 100-TB skew guard: a fingerprint value shared by f
+    * documents contributes f² candidate pairs, so web-scale dedup drops
+    * values above a document-frequency cap (boilerplate shingles carry no
+    * dedup signal anyway). The cap only ever REMOVES candidate pairs whose
+    * evidence is a ubiquitous fingerprint — precision is unaffected.
     */
-  def fingerprintPairs(docs: DataFrame, k: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame = {
-    val fp = fingerprints(docs, k, w)
+  def fingerprintPairs(docs: DataFrame, k: Int = 5, w: Int = 4, minShared: Int = 2,
+                       maxPostings: Option[Int] = None): DataFrame = {
+    val fp0 = fingerprints(docs, k, w)
       .select(col("doc_id"), explode(col("fingerprint")).as("fp"))
+    val fp = maxPostings match {
+      case None => fp0
+      case Some(cap) =>
+        val freq = fp0.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select(col("fp"))
+        fp0.join(freq, Seq("fp")) // hot values drop out before the self-join
+    }
     val a = fp.alias("a")
     val b = fp.alias("b")
     a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -98,6 +98,12 @@ class PipelineSpec extends AnyFunSuite {
     val fp = TextAnalysis.fingerprintPairs(docs, minShared = 2)
     val found = pairs(fp)
     assert(found.contains((107L, 387L)), s"fingerprinting missed near-dup: $found")
+    // hot-key cap: capped results are a subset (only ubiquitous-fingerprint
+    // evidence is dropped) and the planted near-dup pair survives
+    val capped = pairs(TextAnalysis.fingerprintPairs(docs, minShared = 2,
+      maxPostings = Some(50)))
+    assert(capped.subsetOf(found), "cap must only remove pairs")
+    assert(capped.contains((107L, 387L)), "cap dropped a true near-dup")
   }
 
   test("langId returns a language for every doc and handles empty text") {
