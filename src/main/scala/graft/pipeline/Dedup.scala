@@ -32,19 +32,30 @@ object Dedup {
     * union_cnt) with union = |A| + |B| − inter.
     *
     * Scale note (100 TB): the skew surface is a hot gram appearing in many
-    * documents of one block. Stopword-like grams should be dropped by a
-    * document-frequency cap (count grams, anti-join the top) — a lossy-only-
-    * for-hot-grams tradeoff every web-scale dedup makes. Not applied here
-    * because the shipped query is held to an exact SQL oracle.
+    * documents of one block — f documents sharing a gram contribute f²
+    * join pairs. `maxPostings` drops grams above a document-frequency cap
+    * before the join (stopword-like grams carry no dedup signal); OFF by
+    * default because the shipped query is held to an exact SQL oracle.
+    * With the cap, inter_cnt becomes a lower bound — pairs can only be
+    * dropped or under-counted, never invented.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minInter: Int,
-                        blockKey: String = "source"): DataFrame = {
+                        blockKey: String = "source",
+                        maxPostings: Option[Int] = None): DataFrame = {
     val g = docs.filter(col("n_tok") >= n)
       .select(col("doc_id"), col(blockKey).as("__bk"),
         shingleHashes(col("tokens"), n).as("grams"))
       .withColumn("n_grams", size(col("grams")))
-    val inv = g.select(col("doc_id"), col("__bk"), col("n_grams"),
+    val inv0 = g.select(col("doc_id"), col("__bk"), col("n_grams"),
       explode(col("grams")).as("gram"))
+    val inv = maxPostings match {
+      case None => inv0
+      case Some(cap) =>
+        val keep = inv0.groupBy(col("__bk"), col("gram"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
+          .select(col("__bk"), col("gram"))
+        inv0.join(keep, Seq("__bk", "gram"))
+    }
     val a = inv.alias("a")
     val b = inv.alias("b")
     a.join(b, col("a.gram") === col("b.gram") && col("a.__bk") === col("b.__bk") &&
