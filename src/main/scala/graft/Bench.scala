@@ -129,6 +129,30 @@ object Bench {
         roundTimes += thisRound.toMap
         firstRound = false
       }
+      // Adaptive extension: on clean windows the median and min-based
+      // estimators agree within ~0.01; divergence means host contention
+      // contaminated rounds. Buy up to 2 extra rounds to let the minima
+      // converge (bounded — a contention window outlasting the whole bench
+      // cannot be measured around, only documented).
+      var extra = 0
+      def medianE = medianRoundEff(8, 2)
+      def minE = levelTimes(2) / (4 * levelTimes(8))
+      while (extra < 2 && math.abs(medianE - minE) > 0.02) {
+        val thisRound = scala.collection.mutable.Map.empty[Int, Double]
+        for (cpus <- Seq(32, 8, 2)) {
+          val s = session(cpus)
+          val input = { import s.implicits._; s.read.parquet(inputPath).as[graft.format.TokenRow] }
+          val secs = (1 to 3).map(_ => encodeRun(s, input, 64)._1)
+          val sec = secs.min
+          thisRound(cpus) = sec
+          if (sec < levelTimes(cpus)) levelTimes(cpus) = sec
+          s.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+        }
+        roundTimes += thisRound.toMap
+        extra += 1
+      }
     }
     def measure(cpus: Int): Double = levelTimes(cpus)
     // Estimators, noisiest to cleanest:
