@@ -36,7 +36,9 @@ val youngGen: Option[String] = {
   driverMem match {
     case m(n, u) =>
       val mb = if (u.equalsIgnoreCase("g")) n.toLong * 1024 else n.toLong
-      Some(s"-Xmn${math.max(mb / 3, 1024)}m")
+      // -Xmn must stay well below -Xmx: for small heaps (<2g) skip the
+      // explicit young gen entirely rather than risk -Xmn >= -Xmx.
+      if (mb < 2048) None else Some(s"-Xmn${math.max(mb / 3, 512)}m")
     case _ => None // unparseable heap spec: let the GC size the young gen
   }
 }

@@ -17,13 +17,13 @@ import org.apache.spark.sql.functions.col
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private def session(cpus: Int, encodeBench: Boolean = false): SparkSession = {
     // Scan splits must outnumber threads for decent packing: the ~0.8 GB
     // bench input is only ~7 splits at the default 128 MB, which leaves
     // threads idle at local[8]/[32] and under-reports scaling. Aim for
     // ≥3–4 waves of map tasks per thread (SCALE.md §4 tuning knob).
     val maxPartitionBytes = math.max((1L << 30) / (4L * cpus), 16L << 20)
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
@@ -32,13 +32,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", "/dev/shm/spark-tmp") // shuffle on tmpfs: stable timings
-      // The encode shuffle payload is already varint-packed (TokenBlocks);
-      // lz4 on top was measured pure overhead with tmpfs-resident shuffle
-      // files (no disk/network to amortize). A network shuffle would flip
-      // this back on.
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .getOrCreate()
+    // ENCODE-BENCH SESSIONS ONLY: that shuffle's payload is already
+    // varint-packed (TokenBlocks), so lz4 on top was measured pure overhead
+    // with tmpfs-resident shuffle files. The headline queries shuffle
+    // UNPACKED payloads (gram arrays, embeddings) — they keep compression
+    // on (the round-2 session-wide setting inflated them badly).
+    if (encodeBench) {
+      b.config("spark.shuffle.compress", "false")
+      b.config("spark.shuffle.spill.compress", "false")
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -109,7 +112,7 @@ object Bench {
       for (round <- 1 to 4) {
         val thisRound = scala.collection.mutable.Map.empty[Int, Double]
         for (cpus <- Seq(32, 8, 2)) {
-          val s = session(cpus)
+          val s = session(cpus, encodeBench = true)
           // one Dataset per session: file listing + schema resolution happen
           // once, not inside every timed run (they are driver-side overhead
           // a real recurring job would amortize via its catalog)
@@ -140,7 +143,7 @@ object Bench {
       while (extra < 2 && math.abs(medianE - minE) > 0.02) {
         val thisRound = scala.collection.mutable.Map.empty[Int, Double]
         for (cpus <- Seq(32, 8, 2)) {
-          val s = session(cpus)
+          val s = session(cpus, encodeBench = true)
           val input = { import s.implicits._; s.read.parquet(inputPath).as[graft.format.TokenRow] }
           val secs = (1 to 3).map(_ => encodeRun(s, input, 64)._1)
           val sec = secs.min
@@ -186,7 +189,7 @@ object Bench {
       // both read from storage (fair comparison; page cache warms both).
       // The path carries a format tag: chunk-format changes (e.g. the crc
       // now covering symtab+offsets+doc_ids) must invalidate this cache.
-      val chunksPath = s"${inputPath}_chunks_fsst_v2"
+      val chunksPath = s"${inputPath}_chunks_fsst_v3"
       if (!fs.exists(new org.apache.hadoop.fs.Path(chunksPath))) {
         EncodeJob.encode(input.as[TokenRow],
           EncodeOptions(numBuckets = 64, forceCodec = Some("fsst")))

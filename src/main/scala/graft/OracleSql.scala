@@ -142,10 +142,15 @@ object OracleSql {
   private def bucketCtes(seed: Long, nBits: Int, nTables: Int, dims: Int): String =
     s"""__hp(t, b, mask) AS (VALUES ${hyperplaneValues(seed, nBits, nTables, dims)}),
        |__dots AS MATERIALIZED (
+       |  -- list_sum over list_transform accumulates left-to-right in dim
+       |  -- order — the same ascending-d double accumulation LshBuckets
+       |  -- performs, so a dot product near 0 cannot flip sign between the
+       |  -- two sides (a plain SQL SUM has unspecified order).
        |  SELECT e.vec_id, h.t, h.b,
-       |         sum(e.embedding[CAST(d.range AS INT) + 1] *
-       |             (CASE WHEN (h.mask >> CAST(d.range AS INT)) & 1 = 1 THEN 1.0 ELSE -1.0 END)) AS dot
-       |  FROM embeddings e, __hp h, range($dims) d GROUP BY 1, 2, 3),
+       |         list_sum(list_transform(range($dims), d ->
+       |           e.embedding[CAST(d AS INT) + 1] *
+       |           (CASE WHEN (h.mask >> CAST(d AS INT)) & 1 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+       |  FROM embeddings e, __hp h),
        |__bkt AS MATERIALIZED (
        |  SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0::BIGINT END) AS bucket
        |  FROM __dots GROUP BY 1, 2)""".stripMargin
@@ -203,10 +208,13 @@ object OracleSql {
                  seed: Long, dims: Int = 64): String =
     s"""WITH __sc(t, mask) AS (VALUES ${signCentroidValues(seed, nlist, dims)}),
        |__dots AS MATERIALIZED (
+       |  -- ordered list_sum: same ascending-d accumulation as SignDots
+       |  -- (see bucketCtes note on float-sum determinism)
        |  SELECT e.vec_id, s.t,
-       |         sum(e.embedding[CAST(d.range AS INT) + 1] *
-       |             (CASE WHEN (s.mask >> CAST(d.range AS INT)) & 1 = 1 THEN 1.0 ELSE -1.0 END)) AS dot
-       |  FROM embeddings e, __sc s, range($dims) d GROUP BY 1, 2),
+       |         list_sum(list_transform(range($dims), d ->
+       |           e.embedding[CAST(d AS INT) + 1] *
+       |           (CASE WHEN (s.mask >> CAST(d AS INT)) & 1 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+       |  FROM embeddings e, __sc s),
        |__cell AS MATERIALIZED (
        |  SELECT vec_id, t AS cell FROM (
        |    SELECT vec_id, t, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, t) AS rn

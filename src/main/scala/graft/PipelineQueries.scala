@@ -38,6 +38,23 @@ object PipelineQueries {
         col("inter_cnt").cast("bigint").as("inter_cnt"),
         col("union_cnt").cast("bigint").as("union_cnt"))
 
+  /** Document-frequency cap on (the 100-TB skew guard: a boilerplate gram
+    * shared by f docs contributes f² join pairs; grams above the cap carry
+    * no dedup signal and are dropped BEFORE the self-join, bounding every
+    * posting list). Σf² is bounded by cap·Σf — linear in corpus size. The
+    * cap is deterministic, so the DuckDB oracle reproduces it exactly:
+    * inter_cnt counts surviving shared grams (a lower bound of the uncapped
+    * count — PipelineSpec asserts the subset property), union_cnt keeps the
+    * full |A|+|B|−inter accounting.
+    */
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(tokenDocs(spark, dir), n = 3, minInter = 3,
+        maxPostings = Some(2))
+      .select(col("doc_a").cast("bigint").as("doc_a"),
+        col("doc_b").cast("bigint").as("doc_b"),
+        col("inter_cnt").cast("bigint").as("inter_cnt"),
+        col("union_cnt").cast("bigint").as("union_cnt"))
+
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(tokenDocs(spark, dir), tau = 0.7)
       .select(col("doc_a").cast("bigint"), col("doc_b").cast("bigint"),
@@ -100,6 +117,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_embedding_near_dups" -> (embeddingNearDups _),
@@ -132,6 +150,34 @@ object PipelineQueries {
          |  len(list_distinct(list_concat(a.grams, b.grams))) AS union_cnt
          |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.grams, b.grams)) >= 3""".stripMargin,
+    // Same inverted-index semantics with the deterministic df-cap applied
+    // before the pair join (q_ngram_jaccard_capped mirrors
+    // Dedup.ngramJaccardPairs(maxPostings=Some(2)) exactly: n_grams taken
+    // from the FULL distinct gram set, the cap only filters postings).
+    // cap=2 is deliberately tight so the drop path executes at the sf0.01
+    // verify scale (max gram df there is 3); production caps are O(1000).
+    "q_ngram_jaccard_capped" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source, $wordsSql AS ws FROM documents
+         |), g AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+         |  FROM w WHERE len(ws) >= 3
+         |), e AS (
+         |  SELECT doc_id, source, len(grams) AS n, unnest(grams) AS gram FROM g
+         |), keep AS (
+         |  SELECT source, gram FROM e GROUP BY 1, 2 HAVING count(*) <= 2
+         |), ek AS (
+         |  SELECT e.* FROM e JOIN keep USING (source, gram)
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS inter_cnt,
+         |  a.n + b.n - count(*) AS union_cnt
+         |FROM ek a JOIN ek b
+         |  ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |HAVING count(*) >= 3""".stripMargin,
     // Exact SQL reproduction of the LSH pipeline's OUTPUT on this corpus:
     // the seeded MinHash/LSH has full recall at tau=0.7 here (asserted in
     // PipelineSpec), and every candidate is exact-Jaccard-confirmed, so the

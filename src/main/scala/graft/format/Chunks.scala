@@ -23,6 +23,10 @@ final case class ChunkStatsRow(
   * (/root/reference/sketch.cc:770-785).
   */
 final case class EncodedChunk(
+    ver: Int,                     // chunk-format version (ChunkOps.FormatVersion):
+                                  // bumped when the binary layout or crc coverage
+                                  // changes, so old tables fail decode with a clear
+                                  // "unsupported format" instead of a crc mismatch
     chunk_id: Long,
     part_id: Int,
     codec: String,
@@ -107,6 +111,13 @@ object PackedIds {
 }
 
 object ChunkOps {
+  /** Current chunk-format version. v2 = whole-chunk crc (data+symtab+offsets
+    * +doc_ids) and Long manifest waves; v1 tables (round-1 format, crc over
+    * data only) predate the `ver` column, so they fail Dataset resolution
+    * with a missing-column error rather than a misleading crc mismatch.
+    */
+  val FormatVersion: Int = 2
+
   def crc32(data: Array[Byte]): Long = {
     val c = new java.util.zip.CRC32()
     c.update(data)
@@ -161,6 +172,7 @@ object ChunkOps {
     val offsetsPacked = Offsets.pack(ends)
     val idsPacked = PackedIds.pack(docIds)
     EncodedChunk(
+      ver = ChunkOps.FormatVersion,
       chunk_id = chunkId,
       part_id = partId,
       codec = codec.name,
@@ -181,6 +193,9 @@ object ChunkOps {
 
   /** Bit-identical round-trip decode of a whole chunk (D1). */
   def decodeAll(c: EncodedChunk): Iterator[TokenRow] = {
+    require(c.ver == ChunkOps.FormatVersion,
+      s"chunk ${c.chunk_id}: unsupported chunk format version ${c.ver} " +
+        s"(this build reads v${ChunkOps.FormatVersion}); re-encode the table")
     val codec = Codecs.byName(c.codec)
     val dec = codec.decoder(c.symtab)
     val offs = Offsets.unpack(c.offsets, c.row_count)

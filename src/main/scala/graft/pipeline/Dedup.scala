@@ -81,18 +81,25 @@ object Dedup {
       .select(col("doc_id"),
         shingleHashes(col("tokens"), shingleN).as("grams"))
       .withColumn("sig", minhashSig(col("grams"), numHashes, seed))
-    val banded = g.select(col("doc_id"), col("grams"),
+    // Candidate generation moves ONLY (doc_id, band, band-hash): the gram
+    // payload must not ride the `bands`-way explode through the bucket
+    // shuffle (a 16× shuffle-bytes amplification at scale — round-2 verdict).
+    // Grams are re-attached by doc_id AFTER pair dedup, so each doc's grams
+    // cross the wire once per side, proportional to confirmed candidates.
+    val banded = g.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bh")))
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val cands = a.join(b,
+    val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.grams").as("ga"), col("b.grams").as("gb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cands
+    val gr = g.select(col("doc_id"), col("grams"))
+    pairs
+      .join(gr.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(gr.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
       .withColumn("inter_cnt", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("union_cnt", size(array_union(col("ga"), col("gb"))))
       .filter(col("inter_cnt") >= col("union_cnt") * tau)
@@ -135,16 +142,22 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, tau: Double, nBits: Int = 8,
                         nTables: Int = 12, seed: Long = 3L): DataFrame = {
-    val banded = emb.select(col("vec_id"), col("embedding"),
+    // Same slim-explode shape as minhashLshPairs: only (vec_id, tbl, bucket)
+    // rides the nTables-way explode; embeddings re-join by id after pair
+    // dedup (round-2 verdict: the 12× embedding payload amplification).
+    val banded = emb.select(col("vec_id"),
         posexplode(PipelineFunctions.lshBuckets(col("embedding"), nBits, nTables, seed))
           .as(Seq("tbl", "bucket")))
     val a = banded.alias("a")
     val b = banded.alias("b")
-    a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+    val pairs = a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("__ea"), col("b.embedding").as("__eb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    val e = emb.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("__ea")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("__eb")), Seq("vec_b"))
       .filter(Similarity.cosine(col("__ea"), col("__eb")) >= tau)
       .select(col("vec_a"), col("vec_b"))
   }

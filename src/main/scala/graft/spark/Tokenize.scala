@@ -34,36 +34,50 @@ object Tokenize {
   def vocabulary(docs: DataFrame): Map[String, Int] =
     vocabularyDf(docs).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
 
+  // One tokenization per (session, dir): every driver query routes through
+  // documents(), and an un-memoized call ran the vocabulary job EAGERLY
+  // (driver Map collect) each time. Keyed by session because the cached
+  // vocabDf is bound to the session that built it; entries for stopped
+  // sessions are evicted on access (Bench cycles many sessions in one JVM).
+  private val docCache =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), (Dataset[TokenRow], Map[String, Int])]
+
   /** documents.parquet → token table, via a broadcast join against the
     * vocabulary table: posexplode(words) ⋈ vocab → regroup in word order.
     * The vocabulary is data, not plan: a multi-million-word vocab stays a
     * (broadcast) table instead of a serialized literal map in every task's
     * plan (round-1 verdict item). Docs with no words keep an empty tokens
-    * array via the left join.
+    * array via the left join. The driver-side Map is derived from the SAME
+    * cached vocabDf that feeds the join (the round-2 advisor found the
+    * cache was never hit — vocabulary(docs) rebuilt the lineage).
     */
-  def documents(spark: SparkSession, sfDir: String): (Dataset[TokenRow], Map[String, Int]) = {
-    import spark.implicits._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    // tiny (vocab-sized); cached because it feeds both the join and the
-    // driver-side pattern-lookup Map below
-    val vocabDf = vocabularyDf(docs).cache()
-    val words = docs.select(col("doc_id"), posexplode(
-        filter(split(trim(col("text")), "\\s+"), w => w =!= lit("")))
-      .as(Seq("pos", "w")))
-    val tokenized = words.join(broadcast(vocabDf), Seq("w"))
-      .groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
-        s => s.getField("id").cast("int")).as("tokens"))
-    val ds = docs.select(col("doc_id"), col("source"))
-      .join(tokenized, Seq("doc_id"), "left")
-      .select(
-        col("doc_id").cast("string").as("doc_id"),
-        coalesce(col("tokens"), array().cast("array<int>")).as("tokens"),
-        col("source"))
-      .withColumn("n_tok", size(col("tokens")))
-      .select("doc_id", "tokens", "n_tok", "source")
-      .as[TokenRow]
-    (ds, vocabulary(docs))
+  def documents(spark: SparkSession, sfDir: String): (Dataset[TokenRow], Map[String, Int]) = synchronized {
+    docCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    docCache.getOrElseUpdate((spark, sfDir), {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // tiny (vocab-sized); cached: materialized once by the collect below,
+      // then reused by the broadcast join on every action over the result
+      val vocabDf = vocabularyDf(docs).cache()
+      val vmap = vocabDf.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val words = docs.select(col("doc_id"), posexplode(
+          filter(split(trim(col("text")), "\\s+"), w => w =!= lit("")))
+        .as(Seq("pos", "w")))
+      val tokenized = words.join(broadcast(vocabDf), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+          s => s.getField("id").cast("int")).as("tokens"))
+      val ds = docs.select(col("doc_id"), col("source"))
+        .join(tokenized, Seq("doc_id"), "left")
+        .select(
+          col("doc_id").cast("string").as("doc_id"),
+          coalesce(col("tokens"), array().cast("array<int>")).as("tokens"),
+          col("source"))
+        .withColumn("n_tok", size(col("tokens")))
+        .select("doc_id", "tokens", "n_tok", "source")
+        .as[TokenRow]
+      (ds, vmap)
+    })
   }
 
   /** lineitem-derived narrow-int token table (quantities are 1..50 →

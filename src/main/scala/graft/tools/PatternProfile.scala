@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 /** Decomposes the compressed-scan cost: where does scanPattern's time go
   * relative to raw scan and late decode? Run after a Bench has materialized
-  * /tmp/graft_bench_input_<rows> and its _chunks_fsst_v2 table.
+  * /tmp/graft_bench_input_<rows> and its _chunks_fsst_v3 table.
   */
 object PatternProfile {
   def main(args: Array[String]): Unit = {
@@ -24,7 +24,7 @@ object PatternProfile {
     Graft.install(spark)
 
     val inputPath = s"/tmp/graft_bench_input_$rows"
-    val chunksPath = s"${inputPath}_chunks_fsst_v2"
+    val chunksPath = s"${inputPath}_chunks_fsst_v3"
     val pat = (0 until 64).map(SyntheticData.hotPhrase).maxBy(_.length).toSeq
     val input = spark.read.parquet(inputPath)
     val chunks = spark.read.parquet(chunksPath)
