@@ -196,6 +196,17 @@ object Bench {
           .write.mode("overwrite").parquet(chunksPath)
       }
       val chunks = spark.read.parquet(chunksPath).as[graft.format.EncodedChunk]
+      // The engine's PRODUCT table: auto-selected codecs (dict/RLE/FoR/
+      // bitpack/FSST per chunk stats) — what EncodeJob.encode emits by
+      // default, and the fair "compressed" side of raw-vs-compressed (the
+      // reference's own bench compares raw vs ITS engine format,
+      // /root/reference/src/BenchmarkDriver.cpp:81-83).
+      val autoPath = s"${inputPath}_chunks_auto_v3"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(autoPath))) {
+        EncodeJob.encode(input.as[TokenRow], EncodeOptions(numBuckets = 64))
+          .write.mode("overwrite").parquet(autoPath)
+      }
+      val autoChunks = spark.read.parquet(autoPath)
       def best(f: => Long): (Long, Double) = {
         f // warm
         (1 to 3).map { _ =>
@@ -204,16 +215,35 @@ object Bench {
           (n, (System.nanoTime() - t0) / 1e9)
         }.minBy(_._2)
       }
-      val (nRaw, tRaw) = best(
-        input.filter(Graft.containsTokens(col("tokens"), pat)).count())
-      val (nDec, tDec) = best(
-        EncodeJob.decode(chunks).toDF().filter(Graft.containsTokens(col("tokens"), pat)).count())
-      val (nCmp, tCmp) = best(
-        Graft.scanPattern(chunks.toDF(), graft.core.PatternMode.Contains, Seq(pat)).count())
-      val (nLate, tLate) = best(
-        Graft.scanAndDecode(chunks, graft.core.PatternMode.Contains, Seq(pat)).count())
-      require(nRaw == nDec && nDec == nCmp && nCmp == nLate,
-        s"pattern-scan paths disagree: $nRaw $nDec $nCmp $nLate")
+      // The four headline variants are measured INTERLEAVED (2 warm laps —
+      // JIT tiers the match kernel during the first — then 3 timed laps,
+      // min per variant): measuring each variant in its own block let
+      // warm-up and host drift land entirely on whichever ran first
+      // (round-2's compressed number was 1.7× raw from exactly that).
+      val variants: Seq[(String, () => Long)] = Seq(
+        "raw" -> (() => input.filter(Graft.containsTokens(col("tokens"), pat)).count()),
+        "dec" -> (() => EncodeJob.decode(chunks).toDF()
+          .filter(Graft.containsTokens(col("tokens"), pat)).count()),
+        "cmp" -> (() => Graft.scanPattern(autoChunks, graft.core.PatternMode.Contains, Seq(pat)).count()),
+        "fsst" -> (() => Graft.scanPattern(chunks.toDF(), graft.core.PatternMode.Contains, Seq(pat)).count()),
+        "late" -> (() => Graft.scanAndDecode(chunks, graft.core.PatternMode.Contains, Seq(pat)).count())
+      )
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      val times = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(Double.MaxValue)
+      for (lap <- 1 to 5; (name, f) <- variants) {
+        val t0 = System.nanoTime()
+        val n = f()
+        val sec = (System.nanoTime() - t0) / 1e9
+        counts(name) = n
+        if (lap > 2 && sec < times(name)) times(name) = sec
+      }
+      val (nRaw, tRaw) = (counts("raw"), times("raw"))
+      val (nDec, tDec) = (counts("dec"), times("dec"))
+      val (nCmp, tCmp) = (counts("cmp"), times("cmp"))
+      val (nFsst, tFsst) = (counts("fsst"), times("fsst"))
+      val (nLate, tLate) = (counts("late"), times("late"))
+      require(nRaw == nDec && nDec == nCmp && nCmp == nLate && nLate == nFsst,
+        s"pattern-scan paths disagree: $nRaw $nDec $nCmp $nFsst $nLate")
 
       // dict-domain and RLE-domain compressed scans (PackedMatch): each vs
       // its own decode-then-match baseline on the same chunk table
@@ -241,7 +271,7 @@ object Bench {
       dictChunks.unpersist()
       rleChunks.unpersist()
 
-      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f}"""
+      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f}"""
     }
 
     spark.stop()

@@ -97,20 +97,47 @@ object TokenMatch {
   */
 object FsstMatch {
 
-  /** `%p%` via lookup-KMP (F4). */
+  /** Inline LEB128 read: returns the value in the low bits and the new
+    * cursor in the high bits of a packed Long (one return, no allocation).
+    */
+  @inline private def varUIntAt(bytes: Array[Byte], pos0: Int): Long = {
+    var p = pos0
+    var shift = 0; var result = 0; var b = 0
+    do {
+      b = bytes(p) & 0xff; p += 1
+      result |= (b & 0x7f) << shift; shift += 7
+    } while ((b & 0x80) != 0)
+    (p.toLong << 32) | (result.toLong & 0xffffffffL)
+  }
+
+  /** `%p%` via lookup-KMP (F4), with the zero-state byte-skip run
+    * (CodeDfa.hot0): while the automaton is in state 0 — the overwhelmingly
+    * common state for a selective pattern — consume boring bytes with a
+    * single boolean load each instead of two DFA table lookups. Local int
+    * cursor over the raw array (no ByteReader field traffic) keeps the loop
+    * register-allocated.
+    */
   def contains(bytes: Array[Byte], from: Int, to: Int, pm: PatternMachine): Boolean = {
     val dfa = pm.dfas(0)
     val m = dfa.m
     if (m == 0) return true
     val cd = pm.codeDfas(0)
-    val r = new ByteReader(bytes, from, to)
-    val n = r.readVarUInt()
-    if (n < m) return false
+    val hot = cd.hot0
+    val hdr = varUIntAt(bytes, from)
+    if (hdr.toInt < m) return false
+    var p = (hdr >>> 32).toInt
     var state = 0
-    while (r.pos < to) {
-      val b = r.readByte()
+    while (p < to) {
+      if (state == 0) {
+        while (p < to && !hot(bytes(p) & 0xff)) p += 1
+        if (p >= to) return false
+      }
+      val b = bytes(p) & 0xff; p += 1
       if (b == SymTab.EscapeCode) {
-        state = dfa.step(state, r.readZigZag())
+        val zz = varUIntAt(bytes, p)
+        p = (zz >>> 32).toInt
+        val u = zz.toInt
+        state = dfa.step(state, (u >>> 1) ^ -(u & 1))
         if (state == m) return true
       } else {
         if (cd.acceptPos(state, b) >= 0) return true
@@ -120,20 +147,35 @@ object FsstMatch {
     false
   }
 
-  /** `%p` — run the automaton to the end; accept iff the final state is m. */
+  /** `%p` — run the automaton to the end; accept iff the final state is m.
+    * Same zero-state skip as contains (skipping is sound mid-stream: a
+    * skipped byte provably leaves state 0 unchanged; only the FINAL state
+    * matters here and any tail of boring bytes ends at state 0 ≠ m for
+    * m > 0, which the post-loop check handles).
+    */
   def suffix(bytes: Array[Byte], from: Int, to: Int, pm: PatternMachine): Boolean = {
     val dfa = pm.dfas(0)
     val m = dfa.m
     if (m == 0) return true
     val cd = pm.codeDfas(0)
-    val r = new ByteReader(bytes, from, to)
-    val n = r.readVarUInt()
-    if (n < m) return false
+    val hot = cd.hot0
+    val hdr = varUIntAt(bytes, from)
+    if (hdr.toInt < m) return false
+    var p = (hdr >>> 32).toInt
     var state = 0
-    while (r.pos < to) {
-      val b = r.readByte()
-      if (b == SymTab.EscapeCode) state = dfa.step(state, r.readZigZag())
-      else state = cd.next(state, b)
+    while (p < to) {
+      if (state == 0) {
+        while (p < to && !hot(bytes(p) & 0xff)) p += 1
+      }
+      if (p < to) {
+        val b = bytes(p) & 0xff; p += 1
+        if (b == SymTab.EscapeCode) {
+          val zz = varUIntAt(bytes, p)
+          p = (zz >>> 32).toInt
+          val u = zz.toInt
+          state = dfa.step(state, (u >>> 1) ^ -(u & 1))
+        } else state = cd.next(state, b)
+      }
     }
     state == m
   }
@@ -183,6 +225,14 @@ object FsstMatch {
     var k = 0
     var state = 0
     while (r.pos < to) {
+      if (state == 0) {
+        // zero-state skip against the CURRENT machine's hot set
+        val hot = pm.codeDfas(k).hot0
+        var p = r.pos
+        while (p < to && !hot(bytes(p) & 0xff)) p += 1
+        r.pos = p
+        if (p >= to) return false
+      }
       val b = r.readByte()
       if (b == SymTab.EscapeCode) {
         val tok = r.readZigZag()

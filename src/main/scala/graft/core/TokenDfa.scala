@@ -87,6 +87,28 @@ final class CodeDfa(val dfa: TokenDfa, st: SymTab) {
   @inline def next(state: Int, code: Int): Int = nextTab(state * nSym + code)
   /** Tokens consumed within the symbol at the earliest accept; -1 = no accept. */
   @inline def acceptPos(state: Int, code: Int): Int = accTab(state * nSym + code)
+
+  /** Zero-state skip set (the reference's branchless-ZeroKMP idea,
+    * /root/reference/src/StateMachine.hpp:98-107, recast as a byte-skip
+    * run): hot0(b) is false iff byte b can be SKIPPED while the automaton
+    * sits in state 0 — its symbol neither moves the state off 0 nor
+    * accepts. The escape marker is always hot (its zigzag payload must be
+    * parsed, never skip-scanned), and so is every byte ≥ nSym (malformed —
+    * let the stepping loop fail loudly rather than skip silently). For a
+    * selective pattern almost every code is skippable, so the state-0 inner
+    * loop degenerates to a single boolean load per byte at memory speed.
+    */
+  val hot0: Array[Boolean] = {
+    val h = new Array[Boolean](256)
+    java.util.Arrays.fill(h, true)
+    var c = 0
+    while (c < nSym) {
+      h(c) = nextTab(c) != 0 || accTab(c) >= 0
+      c += 1
+    }
+    h(SymTab.EscapeCode) = true
+    h
+  }
 }
 
 /** Machine chain for one pattern against one symbol table; cached per

@@ -234,19 +234,6 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
     ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
-  /** Any byte of the row in `table`? Conservative: varint bytes may alias a
-    * code (false positive → row just runs the DFA), never a false negative.
-    */
-  private def rowHasRequired(data: Array[Byte], from: Int, to: Int,
-                             table: Array[Boolean]): Boolean = {
-    var i = from
-    while (i < to) {
-      if (table(data(i) & 0xff)) return true
-      i += 1
-    }
-    false
-  }
-
   def emptyResult(): org.apache.spark.sql.catalyst.util.ArrayData =
     new GenericArrayData(Array.empty[Any])
 
@@ -280,16 +267,19 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
     if (codec == FsstTokenCodec.name) {
       val st = EvalCaches.symtab(header)
       val pm = PatternMachine.forTable(st, patternId, partsArr)
-      // row-level required-code scan (F6): spelling-path set cover — a
-      // match must touch a required code; cheap byte scan before the DFA.
-      val required = pm.requiredCodeTable(escaped) match {
-        case scala.util.Left(_) => return new GenericArrayData(Array.empty[Any]) // provably no match
-        case scala.util.Right(tbl) => tbl
+      // Chunk-level skipping gate (F6): spelling-path set cover against this
+      // chunk's escaped-token bloom — Left means the pattern is provably
+      // unspellable here and the whole chunk is skipped without touching
+      // `data`. The former per-row required-byte PRE-SCAN is gone: the
+      // zero-state skip run inside the matchers (CodeDfa.hot0) performs the
+      // same byte-skipping in a single pass fused with the match itself, so
+      // a second pass over the row bytes only added work.
+      if (pm.requiredCodeTable(escaped).isLeft) {
+        return new GenericArrayData(Array.empty[Any]) // provably no match
       }
       var i = 0
       while (i < rowCount) {
-        nextId((required == null || rowHasRequired(data, offs(i), offs(i + 1), required)) &&
-          FsstMatch.eval(mode, pm, data, offs(i), offs(i + 1)))
+        nextId(FsstMatch.eval(mode, pm, data, offs(i), offs(i + 1)))
         i += 1
       }
     } else if (mode == PatternMode.Equals) {
