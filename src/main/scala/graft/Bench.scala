@@ -266,12 +266,24 @@ object Bench {
       val (nRleD, tRleD) = best(
         EncodeJob.decode(rleChunks.as[graft.format.EncodedChunk]).toDF()
           .filter(Graft.containsTokens(col("tokens"), rlePat)).count())
-      require(nDictS == nDictD && nRleS == nRleD,
-        s"packed-domain scans disagree with decode: dict $nDictS/$nDictD rle $nRleS/$nRleD")
+      // bitpack-domain anchored scan (PackedAnchor): prefix match against
+      // each row's frame without decode, vs decode-then-match baseline
+      val li = Tokenize.lineitemQuantities(spark, sfDir)
+      val bpChunks = EncodeJob.encode(li,
+        EncodeOptions(numBuckets = 8, forceCodec = Some("bitpack"))).toDF().cache()
+      val bpPat = Seq(1)
+      val (nBpS, tBpS) = best(
+        Graft.scanPattern(bpChunks, graft.core.PatternMode.Prefix, Seq(bpPat)).count())
+      val (nBpD, tBpD) = best(
+        EncodeJob.decode(bpChunks.as[graft.format.EncodedChunk]).toDF()
+          .filter(Graft.startsWithTokens(col("tokens"), bpPat)).count())
+      require(nDictS == nDictD && nRleS == nRleD && nBpS == nBpD,
+        s"packed-domain scans disagree with decode: dict $nDictS/$nDictD rle $nRleS/$nRleD bp $nBpS/$nBpD")
       dictChunks.unpersist()
       rleChunks.unpersist()
+      bpChunks.unpersist()
 
-      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f}"""
+      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f}"""
     }
 
     spark.stop()

@@ -44,6 +44,13 @@ object ChunkStats {
     (b(h >>> 3) & (1 << (h & 7))) != 0
   }
 
+  def compute(rows: TokenRows): ChunkStats = {
+    val b = new Builder
+    var ri = 0
+    while (ri < rows.rowCount) { b.addRowRange(rows.buf(ri), rows.start(ri), rows.len(ri)); ri += 1 }
+    b.build()
+  }
+
   def compute(rows: IndexedSeq[Array[Int]]): ChunkStats = {
     val b = new Builder
     var ri = 0
@@ -179,7 +186,10 @@ object CodecSelector {
     *   it amortizes training across a partition's chunks the way the
     *   reference amortizes per-block setup (SURVEY.md §4 O3).
     */
-  def choose(rows: IndexedSeq[Array[Int]], stats: ChunkStats,
+  def choose(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Choice =
+    choose(TokenRows.ofArrays(rows), stats)
+
+  def choose(rows: TokenRows, stats: ChunkStats,
              reuseFsstHeader: Option[Array[Byte]] = None): Choice = {
     val n = stats.totalTokens
     if (n == 0) return Choice(RawCodec, RawCodec.buildHeader(rows, stats), 0L)
@@ -222,9 +232,9 @@ object CodecSelector {
       val out = new ByteWriter(8192)
       var trialTokens = 0L
       var ri = 0
-      while (ri < rows.length && trialTokens < FsstTrialTokens) {
-        trialEnc.encode(rows(ri), out)
-        trialTokens += rows(ri).length
+      while (ri < rows.rowCount && trialTokens < FsstTrialTokens) {
+        trialEnc.encode(rows.buf(ri), rows.start(ri), rows.len(ri), out)
+        trialTokens += rows.len(ri)
         ri += 1
       }
       if (trialTokens > 0) {

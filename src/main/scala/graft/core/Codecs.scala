@@ -14,13 +14,20 @@ trait ChunkCodec extends Serializable {
   /** Build the chunk header from the chunk's own rows + exact stats (the
     * reference trains each block on itself: /root/reference/src/BenchmarkDriver.cpp:87-140).
     */
-  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte]
+  def buildHeader(rows: TokenRows, stats: ChunkStats): Array[Byte]
+  final def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] =
+    buildHeader(TokenRows.ofArrays(rows), stats)
   def encoder(header: Array[Byte]): RowEncoder
   def decoder(header: Array[Byte]): RowDecoder
 }
 
 trait RowEncoder {
-  def encode(toks: Array[Int], out: ByteWriter): Unit
+  /** Encode one row at buf[from, from+n) — range form so the encode reduce
+    * path reads rows straight out of the GroupBuffer slab (no per-row copy).
+    */
+  def encode(buf: Array[Int], from: Int, n: Int, out: ByteWriter): Unit
+  final def encode(toks: Array[Int], out: ByteWriter): Unit =
+    encode(toks, 0, toks.length, out)
   def escapeCount: Long = 0L
   /** Bloom over tokens this encoder wrote as escapes (FSST only; null else).
     * The analog of the reference's used_chars escaped-byte bitmap
@@ -42,7 +49,7 @@ trait RowDecoder { def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int
 object FsstTokenCodec extends ChunkCodec {
   val name = "fsst"
 
-  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] =
+  def buildHeader(rows: TokenRows, stats: ChunkStats): Array[Byte] =
     FsstTrainer.train(rows).toBytes
 
   def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
@@ -51,17 +58,17 @@ object FsstTokenCodec extends ChunkCodec {
     private val escBloom = new Array[Byte](ChunkStats.BloomBytes)
     override def escapeCount: Long = esc
     override def escapedBloom: Array[Byte] = escBloom
-    def encode(toks: Array[Int], out: ByteWriter): Unit = {
-      val n = toks.length
+    def encode(buf: Array[Int], from: Int, n: Int, out: ByteWriter): Unit = {
       out.writeVarUInt(n)
-      var i = 0
-      while (i < n) {
-        val code = st.longestMatch(toks, i, n)
+      val end = from + n
+      var i = from
+      while (i < end) {
+        val code = st.longestMatch(buf, i, end)
         if (code >= 0) { out.writeByte(code); i += st.symLen(code) }
         else {
           out.writeByte(SymTab.EscapeCode)
-          out.writeZigZag(toks(i))
-          ChunkStats.bloomSet(escBloom, toks(i))
+          out.writeZigZag(buf(i))
+          ChunkStats.bloomSet(escBloom, buf(i))
           i += 1
           esc += 1
         }
@@ -120,7 +127,7 @@ object DictCodec extends ChunkCodec {
   val name = "dict"
   val MaxCard = 4096
 
-  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] = {
+  def buildHeader(rows: TokenRows, stats: ChunkStats): Array[Byte] = {
     val dict = stats.distinctSorted.getOrElse(
       throw new IllegalStateException("dict codec needs exact distinct set"))
     val w = new ByteWriter(dict.length * 2 + 8)
@@ -162,9 +169,9 @@ object DictCodec extends ChunkCodec {
       while (i < dict.length) { m(dict(i).toLong) = i; i += 1 }
       m
     }
-    def encode(toks: Array[Int], out: ByteWriter): Unit = {
-      out.writeVarUInt(toks.length)
-      BitPack.pack(toks, t => idx(t.toLong), width, out)
+    def encode(buf: Array[Int], from: Int, n: Int, out: ByteWriter): Unit = {
+      out.writeVarUInt(n)
+      BitPack.pack(buf, from, n, t => idx(t.toLong), width, out)
     }
   }
 
@@ -185,16 +192,16 @@ object DictCodec extends ChunkCodec {
 
 object RleCodec extends ChunkCodec {
   val name = "rle"
-  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] = Array.emptyByteArray
+  def buildHeader(rows: TokenRows, stats: ChunkStats): Array[Byte] = Array.emptyByteArray
   def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
-    def encode(toks: Array[Int], out: ByteWriter): Unit = {
-      val n = toks.length
+    def encode(buf: Array[Int], from: Int, n: Int, out: ByteWriter): Unit = {
       out.writeVarUInt(n)
-      var i = 0
-      while (i < n) {
-        val v = toks(i)
+      val end = from + n
+      var i = from
+      while (i < end) {
+        val v = buf(i)
         var run = 1
-        while (i + run < n && toks(i + run) == v) run += 1
+        while (i + run < end && buf(i + run) == v) run += 1
         out.writeVarUInt(run)
         out.writeZigZag(v)
         i += run
@@ -229,22 +236,23 @@ object RleCodec extends ChunkCodec {
   */
 object ForCodec extends ChunkCodec {
   val name = "for"
-  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] = {
+  def buildHeader(rows: TokenRows, stats: ChunkStats): Array[Byte] = {
     val w = new ByteWriter(2)
     w.writeByte(BitPack.bitsFor(stats.maxRowRange))
     w.toBytes
   }
   def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
     private val width = header(0) & 0xff
-    def encode(toks: Array[Int], out: ByteWriter): Unit = {
-      out.writeVarUInt(toks.length)
-      if (toks.length == 0) return
-      var base = toks(0)
-      var i = 1
-      while (i < toks.length) { if (toks(i) < base) base = toks(i); i += 1 }
+    def encode(buf: Array[Int], from: Int, n: Int, out: ByteWriter): Unit = {
+      out.writeVarUInt(n)
+      if (n == 0) return
+      val end = from + n
+      var base = buf(from)
+      var i = from + 1
+      while (i < end) { if (buf(i) < base) base = buf(i); i += 1 }
       out.writeZigZag(base)
       val b = base
-      BitPack.pack(toks, t => t - b, width, out)
+      BitPack.pack(buf, from, n, t => t - b, width, out)
     }
   }
   def decoder(header: Array[Byte]): RowDecoder = new RowDecoder {
@@ -265,7 +273,7 @@ object ForCodec extends ChunkCodec {
   */
 object BitPackCodec extends ChunkCodec {
   val name = "bitpack"
-  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] = {
+  def buildHeader(rows: TokenRows, stats: ChunkStats): Array[Byte] = {
     require(stats.minTok >= 0, "bitpack needs non-negative tokens")
     val w = new ByteWriter(2)
     w.writeByte(BitPack.bitsFor(stats.maxTok.toLong))
@@ -273,9 +281,9 @@ object BitPackCodec extends ChunkCodec {
   }
   def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
     private val width = header(0) & 0xff
-    def encode(toks: Array[Int], out: ByteWriter): Unit = {
-      out.writeVarUInt(toks.length)
-      BitPack.pack(toks, t => t, width, out)
+    def encode(buf: Array[Int], from: Int, n: Int, out: ByteWriter): Unit = {
+      out.writeVarUInt(n)
+      BitPack.pack(buf, from, n, t => t, width, out)
     }
   }
   def decoder(header: Array[Byte]): RowDecoder = new RowDecoder {
@@ -294,12 +302,13 @@ object BitPackCodec extends ChunkCodec {
 
 object RawCodec extends ChunkCodec {
   val name = "raw"
-  def buildHeader(rows: IndexedSeq[Array[Int]], stats: ChunkStats): Array[Byte] = Array.emptyByteArray
+  def buildHeader(rows: TokenRows, stats: ChunkStats): Array[Byte] = Array.emptyByteArray
   def encoder(header: Array[Byte]): RowEncoder = new RowEncoder {
-    def encode(toks: Array[Int], out: ByteWriter): Unit = {
-      out.writeVarUInt(toks.length)
-      var i = 0
-      while (i < toks.length) { out.writeZigZag(toks(i)); i += 1 }
+    def encode(buf: Array[Int], from: Int, n: Int, out: ByteWriter): Unit = {
+      out.writeVarUInt(n)
+      val end = from + n
+      var i = from
+      while (i < end) { out.writeZigZag(buf(i)); i += 1 }
     }
   }
   def decoder(header: Array[Byte]): RowDecoder = new RowDecoder {
@@ -320,19 +329,22 @@ object BitPack {
     require(maxValue >= 0)
     if (maxValue == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(maxValue)
   }
-  def pack(toks: Array[Int], f: Int => Int, width: Int, out: ByteWriter): Unit = {
+  def pack(buf: Array[Int], from: Int, n: Int, f: Int => Int, width: Int, out: ByteWriter): Unit = {
     if (width == 0) return
     var acc = 0L
     var nbits = 0
-    var i = 0
-    while (i < toks.length) {
-      acc |= (f(toks(i)).toLong & 0xffffffffL) << nbits
+    val end = from + n
+    var i = from
+    while (i < end) {
+      acc |= (f(buf(i)).toLong & 0xffffffffL) << nbits
       nbits += width
       while (nbits >= 8) { out.writeByte((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
       i += 1
     }
     if (nbits > 0) out.writeByte((acc & 0xff).toInt)
   }
+  def pack(toks: Array[Int], f: Int => Int, width: Int, out: ByteWriter): Unit =
+    pack(toks, 0, toks.length, f, width, out)
   def unpack(bytes: Array[Byte], from: Int, n: Int, width: Int, f: Int => Int): Array[Int] = {
     val out = new Array[Int](n)
     if (width == 0) {

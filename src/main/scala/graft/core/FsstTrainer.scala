@@ -54,20 +54,31 @@ object FsstTrainer {
     c
   }
 
-  def train(rows: IndexedSeq[Array[Int]], maxSampleTokens: Int = DefaultSampleTokens,
+  def train(rows: IndexedSeq[Array[Int]]): SymTab = train(TokenRows.ofArrays(rows))
+  def train(rows: IndexedSeq[Array[Int]], maxSampleTokens: Int, generations: Int): SymTab =
+    train(TokenRows.ofArrays(rows), maxSampleTokens, generations)
+
+  def train(rows: TokenRows, maxSampleTokens: Int = DefaultSampleTokens,
             generations: Int = Generations): SymTab = {
     // Cap the sample: whole rows until the token budget is hit (the reference
     // trains on the whole 64Ki-row block; at Spark chunk sizes a capped sample
-    // keeps training O(sample) while escapes absorb unseen tokens).
-    val sample = mutable.ArrayBuffer.empty[Array[Int]]
+    // keeps training O(sample) while escapes absorb unseen tokens). The
+    // sample is (buf, from, len) ranges over the caller's backing arrays —
+    // nothing is copied.
+    val sBufs = mutable.ArrayBuffer.empty[Array[Int]]
+    val sFrom = new mutable.ArrayBuffer[Int]
+    val sLen = new mutable.ArrayBuffer[Int]
     var budget = maxSampleTokens
     var ri = 0
-    while (ri < rows.length && budget > 0) {
-      val r = rows(ri)
-      if (r.length > 0) { sample += r; budget -= r.length }
+    while (ri < rows.rowCount && budget > 0) {
+      val n = rows.len(ri)
+      if (n > 0) {
+        sBufs += rows.buf(ri); sFrom += rows.start(ri); sLen += n
+        budget -= n
+      }
       ri += 1
     }
-    if (sample.isEmpty) return SymTab.empty
+    if (sBufs.isEmpty) return SymTab.empty
 
     var table = SymTab.empty
     var gen = 0
@@ -79,14 +90,15 @@ object FsstTrainer {
       }
 
       var s = 0
-      while (s < sample.length) {
-        val toks = sample(s)
-        val n = toks.length
-        var pos = 0
+      while (s < sBufs.length) {
+        val toks = sBufs(s)
+        val rowFrom = sFrom(s)
+        val end = rowFrom + sLen(s)
+        var pos = rowFrom
         var prevFrom = -1
         var prevLen = 0
-        while (pos < n) {
-          val code = table.longestMatch(toks, pos, n)
+        while (pos < end) {
+          val code = table.longestMatch(toks, pos, end)
           val uLen = if (code >= 0) table.symLen(code) else 1
           bump(new Key(toks, pos, uLen))
           if (prevFrom >= 0 && prevLen + uLen <= SymTab.MaxSymbolLen) {

@@ -107,6 +107,78 @@ object PackedEquals {
   }
 }
 
+/** Anchored (prefix/suffix) matching on FoR/bitpack rows WITHOUT decoding
+  * the row: the per-row base made these codecs decode-then-match in earlier
+  * rounds; anchored modes only need the first (or last) m stored values, so
+  * the matcher reads the row's base (one varint, FoR only) and unpack-
+  * compares exactly m width-bit values against (pattern − base) — the
+  * reference's constant-re-encode idea (/root/reference/src/FsstWrapper.cpp:124-144)
+  * applied against each row's own frame. Work is O(m) per row with early
+  * exit; the row's remaining tokens are never touched. Contains stays
+  * decode-then-match for these codecs (a sliding bit-phase compare is a
+  * whole-row scan anyway).
+  */
+object PackedAnchor {
+
+  /** Compare stored values [startIdx, startIdx+m) of an LSB-first packed
+    * payload at `payloadStart` against part(i) − base.
+    */
+  private def matchAt(bytes: Array[Byte], payloadStart: Int, width: Int,
+                      startIdx: Long, part: Array[Int], base: Int): Boolean = {
+    if (width == 0) {
+      // width 0: every stored value is 0 → every token equals base
+      var i = 0
+      while (i < part.length) {
+        if (part(i) != base) return false
+        i += 1
+      }
+      return true
+    }
+    val bitPos = startIdx * width
+    var pos = payloadStart + (bitPos >>> 3).toInt
+    var acc = 0L
+    var nbits = 0
+    val skip = (bitPos & 7).toInt
+    if (skip > 0) {
+      acc = (bytes(pos) & 0xffL) >>> skip
+      nbits = 8 - skip
+      pos += 1
+    }
+    val mask = if (width >= 32) 0xffffffffL else (1L << width) - 1
+    var i = 0
+    while (i < part.length) {
+      while (nbits < width) {
+        acc |= (bytes(pos) & 0xffL) << nbits
+        pos += 1
+        nbits += 8
+      }
+      if ((acc & mask).toInt + base != part(i)) return false
+      acc >>>= width
+      nbits -= width
+      i += 1
+    }
+    true
+  }
+
+  /** Prefix/suffix eval on one FoR or bitpack row slice. */
+  def eval(codecName: String, header: Array[Byte], bytes: Array[Byte],
+           from: Int, to: Int, mode: String, part: Array[Int]): Boolean = {
+    val m = part.length
+    if (m == 0) return true
+    val width = header(0) & 0xff
+    val r = new ByteReader(bytes, from, to)
+    val n = r.readVarUInt()
+    if (n < m) return false
+    val base = if (codecName == ForCodec.name) r.readZigZag() else 0
+    val startIdx = if (mode == PatternMode.Prefix) 0L else (n - m).toLong
+    matchAt(bytes, r.pos, width, startIdx, part, base)
+  }
+
+  def supports(codecName: String, mode: String): Boolean =
+    (codecName == ForCodec.name || codecName == BitPackCodec.name) &&
+      (mode == PatternMode.Prefix || mode == PatternMode.Suffix)
+}
+
 /** Run-level matching on the RLE row byte stream (varUInt n, then
   * {varUInt run, zigzag value}*). Rows are materialized as run arrays (~n /
   * mean-run-length entries), never as tokens.

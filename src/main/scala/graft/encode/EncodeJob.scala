@@ -175,16 +175,16 @@ private abstract class ChunkIteratorBase(opts: EncodeOptions)
     seqInBucket(bucket) = seq + 1
     val order = g.sortedOrder()
     val docIds = new Array[String](order.length)
-    val rows = new Array[Array[Int]](order.length)
     var i = 0
     while (i < order.length) {
       docIds(i) = g.docId(order(i))
-      rows(i) = g.tokens(order(i))
       i += 1
     }
+    // rows go to the codecs as a slab VIEW in emit order — no per-row
+    // Array[Int] copies (8 B/token of pure memory traffic at 100 TB scale)
     val chunk = ChunkOps.build(
       (opts.jobTag << 40) | (bucket.toLong << 24) | seq.toLong, bucket,
-      docIds, key._2, scala.collection.immutable.ArraySeq.unsafeWrapArray(rows),
+      docIds, key._2, g.view(order),
       opts.forceCodec, fsstHeaders, g.buildStats())
     g.reset()
     chunk
@@ -272,8 +272,12 @@ private final class BlockChunkIterator(
 private final class GroupBuffer {
   private var big = new Array[Int](1 << 12)
   private var len = 0
-  private val starts = new scala.collection.mutable.ArrayBuffer[Int]
-  private val lens = new scala.collection.mutable.ArrayBuffer[Int]
+  // primitive offset tables — scala ArrayBuffer[Int] boxes every element
+  // (two boxed Integers per row; at 32 threads the allocation rate turned
+  // into the dominant young-GC load)
+  private var starts = new Array[Int](256)
+  private var lens = new Array[Int](256)
+  private var nRows = 0
   private val ids = new scala.collection.mutable.ArrayBuffer[String]
   private val statsB = new graft.core.ChunkStats.Builder
 
@@ -283,13 +287,18 @@ private final class GroupBuffer {
       while (cap < len + n) cap <<= 1
       big = java.util.Arrays.copyOf(big, cap)
     }
+    if (nRows == starts.length) {
+      starts = java.util.Arrays.copyOf(starts, nRows << 1)
+      lens = java.util.Arrays.copyOf(lens, nRows << 1)
+    }
   }
 
   def add(docId: String, toks: Array[Int]): Unit = {
     ensure(toks.length)
     System.arraycopy(toks, 0, big, len, toks.length)
-    starts += len
-    lens += toks.length
+    starts(nRows) = len
+    lens(nRows) = toks.length
+    nRows += 1
     ids += docId
     statsB.addRowRange(big, len, toks.length)
     len += toks.length
@@ -303,8 +312,9 @@ private final class GroupBuffer {
     var p = len
     val end = len + n
     while (p < end) { big(p) = rd.readZigZag(); p += 1 }
-    starts += len
-    lens += n
+    starts(nRows) = len
+    lens(nRows) = n
+    nRows += 1
     ids += docId
     statsB.addRowRange(big, len, n)
     len += n
@@ -312,28 +322,57 @@ private final class GroupBuffer {
 
   def buildStats(): graft.core.ChunkStats = statsB.build()
 
-  def size: Int = ids.length
+  def size: Int = nRows
   def tokenCount: Long = len.toLong
   def docId(i: Int): String = ids(i)
-  def tokens(i: Int): Array[Int] =
-    java.util.Arrays.copyOfRange(big, starts(i), starts(i) + lens(i))
+
+  /** Slab view of the rows permuted to `order` — the codecs encode straight
+    * out of `big`; only the two offset tables are copied.
+    */
+  def view(order: Array[Int]): graft.core.TokenRows = {
+    val s2 = new Array[Int](order.length)
+    val l2 = new Array[Int](order.length)
+    var i = 0
+    while (i < order.length) {
+      s2(i) = starts(order(i))
+      l2(i) = lens(order(i))
+      i += 1
+    }
+    graft.core.TokenRows.ofSlab(big, s2, l2, order.length)
+  }
 
   def reset(): Unit = {
     len = 0
-    starts.clear()
-    lens.clear()
+    nRows = 0
     ids.clear()
     statsB.reset()
   }
 
-  /** Rows ordered by (n_tok, doc_id) within the chunk. */
+  /** Rows ordered by (n_tok, doc_id) within the chunk. Unboxed two-phase
+    * sort: (len, idx) packed into longs for the primary Arrays.sort, then
+    * equal-length runs tie-broken by doc_id.
+    */
   def sortedOrder(): Array[Int] = {
-    val idx = Array.range(0, ids.length)
-    val lensL = lens
-    val idsL = ids
-    idx.sortInPlaceWith { (a, b) =>
-      val c = Integer.compare(lensL(a), lensL(b))
-      if (c != 0) c < 0 else idsL(a).compareTo(idsL(b)) < 0
+    val n = nRows
+    val keys = new Array[Long](n)
+    var i = 0
+    while (i < n) { keys(i) = (lens(i).toLong << 32) | i.toLong; i += 1 }
+    java.util.Arrays.sort(keys)
+    val idx = new Array[Int](n)
+    i = 0
+    while (i < n) { idx(i) = keys(i).toInt; i += 1 }
+    // tie-break equal-len runs by doc_id (insertion order is already stable
+    // from the packed idx bits; the String compare only runs within runs)
+    var lo = 0
+    while (lo < n) {
+      var hi = lo + 1
+      val l = lens(idx(lo))
+      while (hi < n && lens(idx(hi)) == l) hi += 1
+      if (hi - lo > 1) {
+        val slice = java.util.Arrays.copyOfRange(idx, lo, hi).sortBy(a => ids(a))
+        System.arraycopy(slice, 0, idx, lo, slice.length)
+      }
+      lo = hi
     }
     idx
   }

@@ -144,7 +144,14 @@ object ChunkOps {
     * expensive symbol-table training runs once per (bucket, source) group.
     */
   def build(chunkId: Long, partId: Int, docIds: Array[String], source: String,
-            rows: IndexedSeq[Array[Int]], forceCodec: Option[String],
+            rowArrays: IndexedSeq[Array[Int]], forceCodec: Option[String],
+            fsstHeaderCache: scala.collection.mutable.Map[(Int, String), Array[Byte]],
+            precomputedStats: ChunkStats): EncodedChunk =
+    build(chunkId, partId, docIds, source, TokenRows.ofArrays(rowArrays),
+      forceCodec, fsstHeaderCache, precomputedStats)
+
+  def build(chunkId: Long, partId: Int, docIds: Array[String], source: String,
+            rows: TokenRows, forceCodec: Option[String],
             fsstHeaderCache: scala.collection.mutable.Map[(Int, String), Array[Byte]] = null,
             precomputedStats: ChunkStats = null): EncodedChunk = {
     val stats = if (precomputedStats != null) precomputedStats else ChunkStats.compute(rows)
@@ -165,9 +172,13 @@ object ChunkOps {
     }
     val enc = codec.encoder(header)
     val out = new ByteWriter(1 << 16)
-    val ends = new Array[Int](rows.length)
+    val ends = new Array[Int](rows.rowCount)
     var i = 0
-    while (i < rows.length) { enc.encode(rows(i), out); ends(i) = out.size; i += 1 }
+    while (i < rows.rowCount) {
+      enc.encode(rows.buf(i), rows.start(i), rows.len(i), out)
+      ends(i) = out.size
+      i += 1
+    }
     val data = out.toBytes
     val offsetsPacked = Offsets.pack(ends)
     val idsPacked = PackedIds.pack(docIds)
@@ -179,7 +190,7 @@ object ChunkOps {
       symtab = header,
       data = data,
       offsets = offsetsPacked,
-      row_count = rows.length,
+      row_count = rows.rowCount,
       n_tokens = stats.totalTokens,
       first_doc_id = if (docIds.nonEmpty) docIds(0) else "",
       doc_ids = idsPacked,

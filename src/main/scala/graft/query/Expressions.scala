@@ -171,6 +171,8 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
     } else if (codec == RleCodec.name) {
       val (pvs, pcs, lens) = patRuns
       RleMatch.eval(mode, bytes, 0, bytes.length, pvs, pcs, lens)
+    } else if (PackedAnchor.supports(codec, mode)) {
+      PackedAnchor.eval(codec, headerBytes, bytes, 0, bytes.length, mode, partsArr(0))
     } else {
       val dec = EvalCaches.decoder(codec, headerBytes)
       TokenMatch.eval(mode, partsArr, dec.decode(bytes, 0, bytes.length))
@@ -318,6 +320,14 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
       var i = 0
       while (i < rowCount) {
         nextId(RleMatch.eval(mode, data, offs(i), offs(i + 1), pvs, pcs, lens))
+        i += 1
+      }
+    } else if (PackedAnchor.supports(codec, mode)) {
+      // FoR/bitpack anchored matching: O(m) unpack-compare per row against
+      // the row's own base, no decode (PackedAnchor scaladoc).
+      var i = 0
+      while (i < rowCount) {
+        nextId(PackedAnchor.eval(codec, header, data, offs(i), offs(i + 1), mode, partsArr(0)))
         i += 1
       }
     } else {

@@ -119,6 +119,26 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("for/bitpack-forced chunks: anchored dual-run green via packed-domain matching") {
+    val v = vocab
+    for (codecName <- Seq("for", "bitpack")) {
+      val forced = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 4, maxRowsPerChunk = 64, forceCodec = Some(codecName)))
+        .cache().toDF()
+      for ((mode, parts) <- Seq(
+          PatternMode.Prefix -> Seq(Seq(v("key"))),
+          PatternMode.Prefix -> Seq(Seq(v("key"), v("agg"))),
+          PatternMode.Suffix -> Seq(Seq(v("value"))),
+          PatternMode.Prefix -> Seq(Seq(999999)))) { // outside every frame
+        val want = input.toDF().filter(mkPred(mode, parts, col("tokens"))).select("doc_id")
+        val gotScan = Graft.scanPattern(forced, mode, parts)
+        assert(want.except(gotScan).isEmpty && gotScan.except(want).isEmpty,
+          s"$codecName/$mode scan differs from raw oracle")
+      }
+      forced.unpersist()
+    }
+  }
+
   test("rle-forced chunks: dual-run green via run-level matching") {
     // events-derived table has genuine runs (bursts per user)
     val runs = Tokenize.eventTypes(spark, sf)

@@ -134,6 +134,32 @@ object Soak {
       }
     }, 2000)
 
+    // FoR/bitpack anchored matching (PackedAnchor): prefix/suffix without
+    // decode must agree with the token-domain oracle on every row,
+    // including per-row bases (FoR), width-0 chunks, and pattern tokens
+    // outside a row's frame.
+    check("packed-anchor-vs-oracle", Prop.forAll(Gen.listOfN(15, genRow), genPart) { (rowsL, part) =>
+      val rows0 = rowsL.toIndexedSeq
+      val rows = if (rows0.forall(_.isEmpty)) rows0 :+ Array(1) else rows0
+      val stats = ChunkStats.compute(rows)
+      val codecs: Seq[ChunkCodec] =
+        if (stats.minTok >= 0) Seq(ForCodec, BitPackCodec) else Seq(ForCodec)
+      codecs.forall { codec =>
+        val header = codec.buildHeader(rows, stats)
+        val enc = codec.encoder(header)
+        val out = new ByteWriter()
+        val offs = new Array[Int](rows.length + 1)
+        rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+        val data = out.toBytes
+        rows.indices.forall { i =>
+          Seq(PatternMode.Prefix, PatternMode.Suffix).forall { m =>
+            PackedAnchor.eval(codec.name, header, data, offs(i), offs(i + 1), m, part) ==
+              TokenMatch.eval(m, Array(part), rows(i))
+          }
+        }
+      }
+    }, 2000)
+
     check("set-cover-gate-sound", Prop.forAll(Gen.listOfN(20, genRow), genPart) { (rowsL, part) =>
       val rows = rowsL.toIndexedSeq
       val header = FsstTokenCodec.buildHeader(rows, ChunkStats.compute(rows))
