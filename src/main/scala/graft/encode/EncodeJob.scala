@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *   `saltBuckets` buckets → no straggler task at 100 TB;
   * - bucket ids are a pure function of the row → reruns assign identical
   *   buckets, which is what makes manifest-based resume exact.
-  * Chunks never span (bucket, source) groups and rows inside a chunk are
-  * sorted by (n_tok, doc_id); chunk MEMBERSHIP follows shuffle arrival
-  * order, which the decode-equals-input invariant does not depend on.
+  * Chunks never span (bucket, source) groups; chunk MEMBERSHIP and (by
+  * default) within-chunk row order follow shuffle arrival order, which the
+  * decode-equals-input invariant does not depend on (opt-in (n_tok, doc_id)
+  * sorting via EncodeOptions.sortRowsInChunk).
   */
 final case class EncodeOptions(
     numBuckets: Int = 32,
@@ -30,6 +31,15 @@ final case class EncodeOptions(
     maxTokensPerChunk: Long = 1L << 19, // 512Ki tokens ≈ 2 MiB buffered per concurrent task
 
     forceCodec: Option[String] = None,
+    // Sort rows inside each chunk by (n_tok, doc_id). All shipped codecs
+    // encode rows independently, so the sort does not change compressed
+    // SIZE — it only canonicalizes within-chunk order. It costs the sort
+    // itself plus a cache-hostile PERMUTED read of the slab during encode
+    // (measured at local[32]); chunk MEMBERSHIP follows shuffle arrival
+    // order either way, so determinism guarantees are unchanged. Off by
+    // default; turn on when a consumer wants length-clustered rows inside
+    // chunks (e.g. future cross-row encodings).
+    sortRowsInChunk: Boolean = false,
     waves: Int = 1,
     // job/batch discriminator mixed into chunk_id's high bits so appends
     // from several encode jobs (streaming micro-batches) to one table never
@@ -143,10 +153,12 @@ object EncodeJob {
   * token graph every collection); this accumulator keeps tokens in one
   * growing primitive array per group.
   *
-  * Rows within a chunk are sorted by (n_tok, doc_id) for compression
-  * locality. Chunk membership follows shuffle arrival order; the engine's
-  * correctness invariant (decode == input, per-bucket resume) does not
-  * depend on it.
+  * Rows are emitted in arrival order by default (every shipped codec
+  * encodes rows independently, so within-chunk order never changes
+  * compressed size; the optional (n_tok, doc_id) sort cost a permuted,
+  * cache-hostile slab read during encode). The engine's correctness
+  * invariant (decode == input, per-bucket resume) depends on neither
+  * membership nor order.
   *
   * Ingestion is pluggable: the row path pulls (bucket, TokenRow) pairs; the
   * block path (the shipped encode) ingests whole map-side-combined blocks,
@@ -173,18 +185,16 @@ private abstract class ChunkIteratorBase(opts: EncodeOptions)
     val bucket = key._1
     val seq = seqInBucket.getOrElse(bucket, 0)
     seqInBucket(bucket) = seq + 1
-    val order = g.sortedOrder()
-    val docIds = new Array[String](order.length)
-    var i = 0
-    while (i < order.length) {
-      docIds(i) = g.docId(order(i))
-      i += 1
-    }
+    val identity = !opts.sortRowsInChunk
+    val order = if (identity) g.identityOrder() else g.sortedOrder()
     // rows go to the codecs as a slab VIEW in emit order — no per-row
-    // Array[Int] copies (8 B/token of pure memory traffic at 100 TB scale)
-    val chunk = ChunkOps.build(
+    // Array[Int] copies (8 B/token of pure memory traffic at 100 TB scale);
+    // doc ids travel as the already-packed byte slab (no per-row Strings)
+    val chunk = ChunkOps.buildPacked(
       (opts.jobTag << 40) | (bucket.toLong << 24) | seq.toLong, bucket,
-      docIds, key._2, g.view(order),
+      g.packedIds(order, identity),
+      if (order.length > 0) g.docId(order(0)) else "",
+      key._2, g.view(order),
       opts.forceCodec, fsstHeaders, g.buildStats())
     g.reset()
     chunk
@@ -256,9 +266,9 @@ private final class BlockChunkIterator(
     var i = 0
     while (i < nRows) {
       val idLen = rd.readVarUInt()
-      val id = new String(block, rd.pos, idLen, java.nio.charset.StandardCharsets.UTF_8)
+      val idFrom = rd.pos
       rd.pos += idLen
-      g.addPacked(rd, rd.readVarUInt(), id)
+      g.addPacked(rd, rd.readVarUInt(), block, idFrom, idLen)
       i += 1
     }
     key
@@ -278,7 +288,13 @@ private final class GroupBuffer {
   private var starts = new Array[Int](256)
   private var lens = new Array[Int](256)
   private var nRows = 0
-  private val ids = new scala.collection.mutable.ArrayBuffer[String]
+  // doc ids live in ONE byte slab, already in PackedIds wire format
+  // (varUInt(len) + UTF-8 bytes per row): ingest copies bytes straight
+  // from the shuffle block and emit copies the slab straight into the
+  // chunk — no per-row String (2 allocations + 2 transcodes per row in
+  // earlier rounds). idOffs(i) = offset of row i's record in the slab.
+  private var idSlab = new graft.core.ByteWriter(4096)
+  private var idOffs = new Array[Int](256)
   private val statsB = new graft.core.ChunkStats.Builder
 
   private def ensure(n: Int): Unit = {
@@ -290,6 +306,7 @@ private final class GroupBuffer {
     if (nRows == starts.length) {
       starts = java.util.Arrays.copyOf(starts, nRows << 1)
       lens = java.util.Arrays.copyOf(lens, nRows << 1)
+      idOffs = java.util.Arrays.copyOf(idOffs, nRows << 1)
     }
   }
 
@@ -298,24 +315,31 @@ private final class GroupBuffer {
     System.arraycopy(toks, 0, big, len, toks.length)
     starts(nRows) = len
     lens(nRows) = toks.length
+    idOffs(nRows) = idSlab.size
+    val b = docId.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    idSlab.writeVarUInt(b.length)
+    idSlab.writeBytes(b, 0, b.length)
     nRows += 1
-    ids += docId
     statsB.addRowRange(big, len, toks.length)
     len += toks.length
   }
 
   /** One row decoded from a TokenBlocks cursor straight into the primitive
-    * array — the zero-intermediate-allocation reduce path.
+    * array — the zero-intermediate-allocation reduce path. The id bytes
+    * come straight from the shuffle block (`src[idFrom, idFrom+idLen)`).
     */
-  def addPacked(rd: graft.core.ByteReader, n: Int, docId: String): Unit = {
+  def addPacked(rd: graft.core.ByteReader, n: Int,
+                src: Array[Byte], idFrom: Int, idLen: Int): Unit = {
     ensure(n)
     var p = len
     val end = len + n
     while (p < end) { big(p) = rd.readZigZag(); p += 1 }
     starts(nRows) = len
     lens(nRows) = n
+    idOffs(nRows) = idSlab.size
+    idSlab.writeVarUInt(idLen)
+    idSlab.writeBytes(src, idFrom, idLen)
     nRows += 1
-    ids += docId
     statsB.addRowRange(big, len, n)
     len += n
   }
@@ -324,7 +348,50 @@ private final class GroupBuffer {
 
   def size: Int = nRows
   def tokenCount: Long = len.toLong
-  def docId(i: Int): String = ids(i)
+
+  def docId(i: Int): String = {
+    val raw = idSlab.ensureRaw(0)
+    val r = new graft.core.ByteReader(raw, idOffs(i), idSlab.size)
+    val l = r.readVarUInt()
+    new String(raw, r.pos, l, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** PackedIds payload for rows in `order`. Identity order = one slab copy;
+    * a permutation repacks per row (bytes only, still no Strings).
+    */
+  def packedIds(order: Array[Int], identity: Boolean): Array[Byte] = {
+    if (identity) return idSlab.toBytes
+    val raw = idSlab.ensureRaw(0)
+    val w = new graft.core.ByteWriter(idSlab.size + 8)
+    var i = 0
+    while (i < order.length) {
+      val off = idOffs(order(i))
+      val r = new graft.core.ByteReader(raw, off, idSlab.size)
+      val l = r.readVarUInt()
+      w.writeBytes(raw, off, (r.pos - off) + l)
+      i += 1
+    }
+    w.toBytes
+  }
+
+  /** Unsigned byte-lexicographic doc_id compare (sorted-mode tie-break;
+    * equals UTF-16 String order for ASCII ids, code-point order otherwise).
+    */
+  def idCompare(a: Int, b: Int): Int = {
+    val raw = idSlab.ensureRaw(0)
+    val ra = new graft.core.ByteReader(raw, idOffs(a), idSlab.size)
+    val rb = new graft.core.ByteReader(raw, idOffs(b), idSlab.size)
+    val la = ra.readVarUInt()
+    val lb = rb.readVarUInt()
+    var i = 0
+    val lim = math.min(la, lb)
+    while (i < lim) {
+      val c = (raw(ra.pos + i) & 0xff) - (raw(rb.pos + i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    la - lb
+  }
 
   /** Slab view of the rows permuted to `order` — the codecs encode straight
     * out of `big`; only the two offset tables are copied.
@@ -344,9 +411,12 @@ private final class GroupBuffer {
   def reset(): Unit = {
     len = 0
     nRows = 0
-    ids.clear()
+    idSlab = new graft.core.ByteWriter(4096)
     statsB.reset()
   }
+
+  /** Arrival order — the default emit order (see EncodeOptions.sortRowsInChunk). */
+  def identityOrder(): Array[Int] = Array.range(0, nRows)
 
   /** Rows ordered by (n_tok, doc_id) within the chunk. Unboxed two-phase
     * sort: (len, idx) packed into longs for the primary Arrays.sort, then
@@ -369,7 +439,8 @@ private final class GroupBuffer {
       val l = lens(idx(lo))
       while (hi < n && lens(idx(hi)) == l) hi += 1
       if (hi - lo > 1) {
-        val slice = java.util.Arrays.copyOfRange(idx, lo, hi).sortBy(a => ids(a))
+        val slice = java.util.Arrays.copyOfRange(idx, lo, hi)
+          .sortWith((a, b) => idCompare(a, b) < 0)
         System.arraycopy(slice, 0, idx, lo, slice.length)
       }
       lo = hi

@@ -153,7 +153,19 @@ object ChunkOps {
   def build(chunkId: Long, partId: Int, docIds: Array[String], source: String,
             rows: TokenRows, forceCodec: Option[String],
             fsstHeaderCache: scala.collection.mutable.Map[(Int, String), Array[Byte]] = null,
-            precomputedStats: ChunkStats = null): EncodedChunk = {
+            precomputedStats: ChunkStats = null): EncodedChunk =
+    buildPacked(chunkId, partId, PackedIds.pack(docIds),
+      if (docIds.nonEmpty) docIds(0) else "", source, rows,
+      forceCodec, fsstHeaderCache, precomputedStats)
+
+  /** Same as build, but doc ids arrive already in PackedIds wire format
+    * (the encode reduce path keeps ids as bytes end-to-end — no per-row
+    * String materialization).
+    */
+  def buildPacked(chunkId: Long, partId: Int, idsPacked: Array[Byte], firstDocId: String,
+                  source: String, rows: TokenRows, forceCodec: Option[String],
+                  fsstHeaderCache: scala.collection.mutable.Map[(Int, String), Array[Byte]] = null,
+                  precomputedStats: ChunkStats = null): EncodedChunk = {
     val stats = if (precomputedStats != null) precomputedStats else ChunkStats.compute(rows)
     val groupKey = (partId, source)
     val cached = if (fsstHeaderCache == null) None else fsstHeaderCache.get(groupKey)
@@ -181,7 +193,6 @@ object ChunkOps {
     }
     val data = out.toBytes
     val offsetsPacked = Offsets.pack(ends)
-    val idsPacked = PackedIds.pack(docIds)
     EncodedChunk(
       ver = ChunkOps.FormatVersion,
       chunk_id = chunkId,
@@ -192,7 +203,7 @@ object ChunkOps {
       offsets = offsetsPacked,
       row_count = rows.rowCount,
       n_tokens = stats.totalTokens,
-      first_doc_id = if (docIds.nonEmpty) docIds(0) else "",
+      first_doc_id = firstDocId,
       doc_ids = idsPacked,
       source = source,
       stats = ChunkStatsRow(stats.distinctEst, stats.minTok, stats.maxTok,
