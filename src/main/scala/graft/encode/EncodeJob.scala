@@ -95,13 +95,17 @@ object EncodeJob {
     // Partition count ≠ bucket count: buckets are the GROUPING identity
     // (chunks never span (bucket, source)); the shuffle's task count follows
     // spark.sql.shuffle.partitions so small clusters aren't fragmented into
-    // 64 micro-tasks and large ones aren't capped at 64. Several buckets
-    // landing in one partition is fine — the chunk iterator keys by bucket.
-    val blocks = spark.createDataset(packed).toDF("bucket", "block")
-      .repartition(col("bucket"))
-    val rdd = org.apache.spark.sql.GraftBridge.toInternalRdd(blocks).mapPartitions { it =>
-      new BlockChunkIterator(it, opts)
-    }
+    // 64 micro-tasks and large ones aren't capped at 64. Partitioning is
+    // EXPLICIT round-robin (bucket % P), not hash-of-key: salted buckets are
+    // near-equal-sized, so modulo gives each reduce task the same number of
+    // buckets — hashing 64 bucket ids into 32 partitions left some tasks
+    // with 3 buckets and others with 1 (a measured 1.5× straggler at
+    // local[32], exactly the tail a 1000-executor run cannot afford).
+    val reduceParts = math.max(1, math.min(opts.numBuckets,
+      spark.sessionState.conf.numShufflePartitions))
+    val rdd = packed
+      .partitionBy(new BucketPartitioner(reduceParts))
+      .mapPartitions(it => new BlockChunkIterator(it, opts))
     spark.createDataset(rdd)
   }
 
@@ -244,18 +248,34 @@ private final class ChunkIterator(it: Iterator[(Int, TokenRow)], opts: EncodeOpt
   }
 }
 
-/** Block ingestion: InternalRows of (bucket int, block binary) from the
-  * map-side combine; one block = many rows of one (bucket, source) group,
-  * varint-decoded straight into the group's primitive token array.
+/** Deterministic bucket→partition assignment: round-robin modulo. Buckets
+  * are near-equal-sized by construction (salted hash), so modulo balances
+  * reduce tasks exactly; equality by numPartitions so co-partitioned RDDs
+  * compare correctly.
+  */
+private[encode] final class BucketPartitioner(n: Int) extends org.apache.spark.Partitioner {
+  override def numPartitions: Int = n
+  override def getPartition(key: Any): Int = {
+    val b = key.asInstanceOf[Int]
+    ((b % n) + n) % n
+  }
+  override def equals(o: Any): Boolean = o match {
+    case p: BucketPartitioner => p.numPartitions == n
+    case _ => false
+  }
+  override def hashCode: Int = n
+}
+
+/** Block ingestion: (bucket, packedBlock) pairs from the map-side combine;
+  * one block = many rows of one (bucket, source) group, varint-decoded
+  * straight into the group's primitive token array.
   */
 private final class BlockChunkIterator(
-    it: Iterator[org.apache.spark.sql.catalyst.InternalRow], opts: EncodeOptions)
+    it: Iterator[(Int, Array[Byte])], opts: EncodeOptions)
     extends ChunkIteratorBase(opts) {
   protected def ingestNext(): (Int, String) = {
     if (!it.hasNext) return null
-    val r = it.next()
-    val bucket = r.getInt(0)
-    val block = r.getBinary(1)
+    val (bucket, block) = it.next()
     val rd = new graft.core.ByteReader(block, 0, block.length)
     val srcLen = rd.readVarUInt()
     val source = new String(block, rd.pos, srcLen, java.nio.charset.StandardCharsets.UTF_8)
