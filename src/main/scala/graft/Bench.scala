@@ -140,7 +140,12 @@ object Bench {
       var extra = 0
       def medianE = medianRoundEff(8, 2)
       def minE = levelTimes(2) / (4 * levelTimes(8))
-      while (extra < 2 && math.abs(medianE - minE) > 0.02) {
+      // the 8→32 pair is the noisier one (local[32] absorbs all host
+      // contention); extend on ITS estimator divergence too
+      def medianE32 = medianRoundEff(32, 8)
+      def minE32 = levelTimes(8) / (4 * levelTimes(32))
+      while (extra < 3 && (math.abs(medianE - minE) > 0.02 ||
+                           math.abs(medianE32 - minE32) > 0.04)) {
         val thisRound = scala.collection.mutable.Map.empty[Int, Double]
         for (cpus <- Seq(32, 8, 2)) {
           val s = session(cpus, encodeBench = true)

@@ -38,6 +38,30 @@ object ScaleProbe {
     EncodeJob.sizeReport(c0)
     stageTasks.clear()
 
+    // stage decomposition: parquet-scan-only, map-side-pack-only (no
+    // shuffle), and full job — isolates where 8→32 inflation concentrates
+    def mapOnly(): Long = {
+      import org.apache.spark.sql.functions.col
+      val df = EncodeJob.withBucket(spark.read.parquet(path), EncodeOptions(numBuckets = nb))
+        .select(col("__bucket"), col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      org.apache.spark.sql.GraftBridge.toInternalRdd(df)
+        .mapPartitions(graft.encode.TokenBlocks.pack)
+        .map(_._2.length.toLong).reduce(_ + _)
+    }
+    def scanOnly(): Long = {
+      import org.apache.spark.sql.functions.{col, size, sum}
+      spark.read.parquet(path).agg(sum(size(col("tokens")))).collect()(0).getLong(0)
+    }
+    def timeIt(name: String)(f: => Any): Unit = {
+      f
+      val best = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"cpus=$cpus $name%-12s best=$best%6.2f s")
+    }
+    timeIt("scan_only")(scanOnly())
+    timeIt("map_pack")(mapOnly())
+
     for (iter <- 1 to 6) {
       stageTasks.clear()
       val t0 = System.nanoTime()
