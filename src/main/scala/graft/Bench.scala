@@ -69,6 +69,14 @@ object Bench {
     // ---- part 1: headline queries ------------------------------------
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     var spark = session(cpus.toInt)
+    // One-time session costs (expression registration, parquet listing,
+    // codegen compiler warm-up) otherwise land entirely on whichever query
+    // sorts first and distort ITS number; a tiny sf0.001 flagship run pays
+    // them up front. Per-query caches (chunk tables, tokenization) still
+    // charge to the first query that needs them — that cost is real work.
+    try SparkEntry.entry(spark).count() catch {
+      case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {

@@ -81,9 +81,11 @@ object FsstTokenCodec extends ChunkCodec {
     private val flat = st.flatTokens
     private val flatOff = st.flatOffsets
     // Hot-loop discipline (the JVM analog of the reference's word-wise
-    // decode fast path, /root/reference/src/FsstWrapper.hpp:89-110): a local
-    // cursor instead of ByteReader field traffic, inlined varints, and one
-    // flat contiguous symbol array instead of jagged double indirection.
+    // escape-mask decode fast path, /root/reference/src/FsstWrapper.hpp:89-110):
+    // scan ahead to the next escape marker with a memchr-style byte loop
+    // (0xFF is -1 as a signed byte — a single compare, no masking), then
+    // expand the escape-free code segment with NO per-byte escape branch.
+    // Local cursors, inlined varints, one flat contiguous symbol array.
     def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] = {
       var pos = from
       var n = 0
@@ -96,9 +98,20 @@ object FsstTokenCodec extends ChunkCodec {
       val out = new Array[Int](n)
       var k = 0
       while (k < n) {
-        val c = bytes(pos) & 0xff
-        pos += 1
-        if (c == SymTab.EscapeCode) {
+        if (pos >= to) throw new IllegalStateException("truncated fsst row")
+        // segment = maximal escape-free run of code bytes
+        var seg = pos
+        while (seg < to && bytes(seg) != -1) seg += 1
+        while (pos < seg) {
+          val c = bytes(pos) & 0xff
+          pos += 1
+          var j = flatOff(c)
+          val e = flatOff(c + 1)
+          while (j < e) { out(k) = flat(j); k += 1; j += 1 }
+        }
+        if (k < n && pos < to) {
+          // escape marker + zigzag literal
+          pos += 1
           var u = 0
           var sh = 0
           var bb = 0
@@ -108,10 +121,6 @@ object FsstTokenCodec extends ChunkCodec {
           } while ((bb & 0x80) != 0)
           out(k) = (u >>> 1) ^ -(u & 1)
           k += 1
-        } else {
-          var j = flatOff(c)
-          val e = flatOff(c + 1)
-          while (j < e) { out(k) = flat(j); k += 1; j += 1 }
         }
       }
       out
