@@ -15,8 +15,13 @@ object ScaleProbe {
     val cpus = args(0).toInt
     val path = args(1)
     val nb = if (args.length > 2) args(2).toInt else 64
+    // mirror Bench's session: splits sized for >=3-4 map waves per thread
+    val maxPartitionBytes = math.max((1L << 30) / (4L * cpus), 16L << 20)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-tmp")
       .getOrCreate()
