@@ -88,10 +88,29 @@ object EncodeJob {
     if (sys.props.get("graft.shuffle.mode").contains("rows")) return encodeRowShuffle(ds, opts)
     val spark = ds.sparkSession
     import spark.implicits._
-    val df = withBucket(ds.toDF(), opts)
-      .select(col("__bucket"), col("doc_id"), col("tokens"), col("n_tok"), col("source"))
-    val packed = org.apache.spark.sql.GraftBridge.toInternalRdd(df)
-      .mapPartitions(TokenBlocks.pack)
+    // Columnar fast path: when the input IS a bare parquet scan (the
+    // 100-TB deployment shape — encode jobs read the token table directly),
+    // pack straight from the scan's ColumnarBatch vectors: ColumnarToRow's
+    // per-row UnsafeRow materialization (~8 B/token of map-side memory
+    // traffic, a measured 8→32-thread scaling cost) never runs. Buckets are
+    // computed per row bit-identically to the SQL expression (Buckets.of).
+    // Derived inputs (tokenization, filters — e.g. ResumableEncode's
+    // uncommitted-bucket filter) take the row path below.
+    val columnar = if (sys.props.get("graft.map.mode").contains("rows")) None
+      else org.apache.spark.sql.GraftBridge.columnarScan(ds.toDF())
+    val packed = columnar match {
+      case Some((batches, names))
+          if Seq("doc_id", "tokens", "n_tok", "source").forall(names.contains) =>
+        val Seq(iDoc, iTok, iN, iSrc) =
+          Seq("doc_id", "tokens", "n_tok", "source").map(names.indexOf)
+        val (nb, sb) = (opts.numBuckets, opts.saltBuckets)
+        batches.mapPartitions(it => TokenBlocks.packColumnar(it, iDoc, iTok, iN, iSrc, nb, sb))
+      case _ =>
+        val df = withBucket(ds.toDF(), opts)
+          .select(col("__bucket"), col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+        org.apache.spark.sql.GraftBridge.toInternalRdd(df)
+          .mapPartitions(TokenBlocks.pack)
+    }
     // Partition count ≠ bucket count: buckets are the GROUPING identity
     // (chunks never span (bucket, source)); the shuffle's task count follows
     // spark.sql.shuffle.partitions so small clusters aren't fragmented into

@@ -60,76 +60,121 @@ object TokenBlocks {
     }
   }
 
+  /** Shared pack state machine: per-(bucket, source) accumulators, source
+    * interning, streaming flush at BlockBytes, sorted drain at end. Ingest
+    * is pluggable (`nextUnit` pulls ONE row and calls `offer`).
+    */
+  private abstract class PackerBase extends Iterator[(Int, Array[Byte])] {
+    // Source interning without per-row String allocation: distinct sources
+    // per task are few, so a linear scan over stable UTF8String copies
+    // beats hashing the (reused-buffer) row value. The interned INDEX
+    // also forms the group key: (bucket << 20 | srcIdx) — collision-free.
+    private val internedKeys = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    private val internedVals = scala.collection.mutable.ArrayBuffer.empty[String]
+    private def internIdx(s: UTF8String): Int = {
+      var i = 0
+      while (i < internedKeys.length) {
+        if (internedKeys(i).equals(s)) return i
+        i += 1
+      }
+      val copy = s.toString
+      internedKeys += UTF8String.fromString(copy)
+      internedVals += copy
+      require(internedKeys.length <= (1 << 20), "too many distinct sources in one task")
+      internedKeys.length - 1
+    }
+    private val open = new java.util.HashMap[java.lang.Long, Acc]()
+    private var drainIt: Iterator[java.lang.Long] = _
+    private var ready: (Int, Array[Byte]) = _
+
+    /** Ingest one row (call `offer`); false when input exhausted. */
+    protected def nextUnit(): Boolean
+
+    protected final def offer(bucket: Int, src: UTF8String, id: UTF8String,
+                              toks: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+      val srcIdx = internIdx(src)
+      val key = java.lang.Long.valueOf((bucket.toLong << 20) | srcIdx)
+      var acc = open.get(key)
+      if (acc == null) {
+        acc = new Acc(internedVals(srcIdx))
+        open.put(key, acc)
+      }
+      acc.addRow(id, toks)
+      if (acc.w.size >= BlockBytes) {
+        ready = (bucket, acc.drain())
+        open.remove(key)
+      }
+    }
+
+    private def advance(): Unit = {
+      while (ready == null && nextUnit()) {}
+      if (ready == null) {
+        if (drainIt == null) {
+          val keys = open.keySet().toArray(new Array[java.lang.Long](0))
+          java.util.Arrays.sort(keys.asInstanceOf[Array[Object]])
+          drainIt = keys.iterator
+        }
+        while (ready == null && drainIt.hasNext) {
+          val key = drainIt.next()
+          val acc = open.get(key)
+          if (acc != null && acc.nRows > 0)
+            ready = ((key.longValue >>> 20).toInt, acc.drain())
+        }
+      }
+    }
+
+    override final def hasNext: Boolean = {
+      if (ready == null) advance()
+      ready != null
+    }
+    override final def next(): (Int, Array[Byte]) = {
+      if (!hasNext) throw new NoSuchElementException
+      val b = ready
+      ready = null
+      b
+    }
+  }
+
   /** Map task: InternalRows (__bucket, doc_id, tokens, n_tok, source) →
     * (bucket, packedBlock) pairs. Streaming: a block is emitted the moment
     * its accumulator crosses BlockBytes, so live memory per task is bounded
     * by (open groups × BlockBytes), never by partition size.
     */
   def pack(it: Iterator[InternalRow]): Iterator[(Int, Array[Byte])] =
-    new Iterator[(Int, Array[Byte])] {
-      // Source interning without per-row String allocation: distinct sources
-      // per task are few, so a linear scan over stable UTF8String copies
-      // beats hashing the (reused-buffer) row value. The interned INDEX
-      // also forms the group key: (bucket << 20 | srcIdx) — collision-free.
-      private val internedKeys = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
-      private val internedVals = scala.collection.mutable.ArrayBuffer.empty[String]
-      private def internIdx(s: UTF8String): Int = {
-        var i = 0
-        while (i < internedKeys.length) {
-          if (internedKeys(i).equals(s)) return i
-          i += 1
-        }
-        val copy = s.toString
-        internedKeys += UTF8String.fromString(copy)
-        internedVals += copy
-        require(internedKeys.length <= (1 << 20), "too many distinct sources in one task")
-        internedKeys.length - 1
+    new PackerBase {
+      protected def nextUnit(): Boolean = {
+        if (!it.hasNext) return false
+        val r = it.next()
+        offer(r.getInt(0), r.getUTF8String(4), r.getUTF8String(1), r.getArray(2))
+        true
       }
-      private val open = new java.util.HashMap[java.lang.Long, Acc]()
-      private var drainIt: Iterator[java.lang.Long] = _
-      private var ready: (Int, Array[Byte]) = _
+    }
 
-      private def advance(): Unit = {
-        while (ready == null && it.hasNext) {
-          val r = it.next()
-          val bucket = r.getInt(0)
-          val srcIdx = internIdx(r.getUTF8String(4))
-          val key = java.lang.Long.valueOf((bucket.toLong << 20) | srcIdx)
-          var acc = open.get(key)
-          if (acc == null) {
-            acc = new Acc(internedVals(srcIdx))
-            open.put(key, acc)
-          }
-          acc.addRow(r.getUTF8String(1), r.getArray(2))
-          if (acc.w.size >= BlockBytes) {
-            ready = (bucket, acc.drain())
-            open.remove(key)
-          }
+  /** Columnar map task: packs STRAIGHT from parquet ColumnarBatch vectors —
+    * no ColumnarToRow per-row UnsafeRow materialization (~8 B/token of
+    * memory traffic on the map side). The bucket is computed per row with
+    * Buckets.of, bit-identical to the SQL expression (see Buckets).
+    */
+  def packColumnar(batches: Iterator[org.apache.spark.sql.vectorized.ColumnarBatch],
+                   iDoc: Int, iTok: Int, iN: Int, iSrc: Int,
+                   numBuckets: Int, saltBuckets: Int): Iterator[(Int, Array[Byte])] =
+    new PackerBase {
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      private var row = 0
+      protected def nextUnit(): Boolean = {
+        while (batch == null || row >= batch.numRows()) {
+          if (!batches.hasNext) return false
+          batch = batches.next()
+          row = 0
         }
-        if (ready == null) {
-          if (drainIt == null) {
-            val keys = open.keySet().toArray(new Array[java.lang.Long](0))
-            java.util.Arrays.sort(keys.asInstanceOf[Array[Object]])
-            drainIt = keys.iterator
-          }
-          while (ready == null && drainIt.hasNext) {
-            val key = drainIt.next()
-            val acc = open.get(key)
-            if (acc != null && acc.nRows > 0)
-              ready = ((key.longValue >>> 20).toInt, acc.drain())
-          }
-        }
-      }
-
-      override def hasNext: Boolean = {
-        if (ready == null) advance()
-        ready != null
-      }
-      override def next(): (Int, Array[Byte]) = {
-        if (!hasNext) throw new NoSuchElementException
-        val b = ready
-        ready = null
-        b
+        val doc = batch.column(iDoc).getUTF8String(row)
+        val src = batch.column(iSrc).getUTF8String(row)
+        val nTok = batch.column(iN).getInt(row)
+        val toks = batch.column(iTok).getArray(row)
+        val bucket = Buckets.of(doc, nTok, src, numBuckets, saltBuckets)
+        offer(bucket, src, doc, toks)
+        row += 1
+        true
       }
     }
 

@@ -15,4 +15,35 @@ object GraftBridge {
     */
   def toInternalRdd(df: DataFrame): org.apache.spark.rdd.RDD[catalyst.InternalRow] =
     classic.ClassicConversions.castToImpl(df).queryExecution.toRdd
+
+  /** When `df` plans to a BARE columnar file scan (no project/filter beyond
+    * the WholeStageCodegen/ColumnarToRow wrappers), return the scan's
+    * ColumnarBatch RDD + its output column names. The encode map side then
+    * packs STRAIGHT from the parquet column vectors, skipping
+    * ColumnarToRow's per-row UnsafeRow materialization (~8 B/token of
+    * memory traffic). Any derived input (projections, joins, tokenization)
+    * returns None and takes the row path.
+    */
+  def columnarScan(df: DataFrame): Option[(org.apache.spark.rdd.RDD[vectorized.ColumnarBatch], Seq[String])] = {
+    val plan = classic.ClassicConversions.castToImpl(df).queryExecution.executedPlan
+    @scala.annotation.tailrec
+    def unwrap(p: execution.SparkPlan): execution.SparkPlan = p match {
+      case w: execution.WholeStageCodegenExec => unwrap(w.child)
+      case i: execution.InputAdapter => unwrap(i.child)
+      case c: execution.ColumnarToRowExec => unwrap(c.child)
+      case other => other
+    }
+    unwrap(plan) match {
+      case s if s.supportsColumnar => Some((s.executeColumnar(), s.output.map(_.name)))
+      case _ => None
+    }
+  }
+
+  /** Bit-exact Spark xxhash64 primitives (the bucket function must evaluate
+    * identically through the SQL path and the columnar pack path).
+    */
+  def xxhashUtf8(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
+    catalyst.expressions.XXH64.hashUTF8String(s, seed)
+  def xxhashLong(v: Long, seed: Long): Long =
+    catalyst.expressions.XXH64.hashLong(v, seed)
 }
