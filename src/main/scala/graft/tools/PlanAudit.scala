@@ -51,12 +51,38 @@ object PlanAudit {
     val tokenDocs = input.toDF().withColumn("doc_id", col("doc_id").cast("bigint"))
     val ngram = graft.pipeline.Dedup.ngramJaccardPairs(tokenDocs, n = 3, minInter = 3)
     val nearDups = graft.pipeline.Dedup.embeddingNearDups(emb, tau = 0.5)
-    Seq("q_ngram_jaccard" -> ngram, "q_embedding_near_dups" -> nearDups).foreach {
+    val minhash = graft.pipeline.Dedup.minhashLshPairs(tokenDocs, tau = 0.7)
+    Seq("q_ngram_jaccard" -> ngram, "q_embedding_near_dups" -> nearDups,
+        "q_dedup_minhash" -> minhash).foreach {
       case (name, df) =>
         val plan = df.queryExecution.executedPlan.toString
         val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct").filter(plan.contains)
         require(bad.isEmpty, s"$name plans a nested-loop join: $bad")
         println(s"$name: key-join plan OK (no nested loop)")
+    }
+    // the round-3 payload rule: the banded candidate join must move ONLY
+    // (id, band, hash) — gram arrays re-join by doc id after pair dedup,
+    // so no gram attribute may flow through the band-bucket join (the
+    // round-2 plan amplified gram bytes 16× through that shuffle)
+    locally {
+      // sparkPlan, not executedPlan: AQE wraps the tree and hides the join
+      // nodes from collect() until execution
+      val exec = minhash.queryExecution.sparkPlan
+      val bandJoins = exec.collect {
+        // a join KEYED on the band hash (not one merely containing the band
+        // join in its subtree — toString matches the whole subtree)
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "bh")) ||
+               j.condition.exists(_.references.exists(_.name == "bh")) => j
+      }
+      require(bandJoins.nonEmpty, "expected a band-bucket candidate join in the minhash plan")
+      bandJoins.foreach { j =>
+        val payload = (j.left.output ++ j.right.output)
+          .filter(a => a.name.contains("grams") || a.name == "ga" || a.name == "gb")
+        require(payload.isEmpty,
+          s"minhash band join carries the gram payload: ${payload.map(_.name).mkString(",")}")
+      }
+      println("q_dedup_minhash: banded join carries keys only (payload re-joined by id)")
     }
     df0Explain(ngram)
     spark.stop()
