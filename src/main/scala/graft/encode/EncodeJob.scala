@@ -40,6 +40,11 @@ final case class EncodeOptions(
     // default; turn on when a consumer wants length-clustered rows inside
     // chunks (e.g. future cross-row encodings).
     sortRowsInChunk: Boolean = false,
+    // Encode only these buckets (ResumableEncode's uncommitted-wave set).
+    // Filtering INSIDE encode keeps the bucket computed once and lets a
+    // bare-parquet-scan input keep the columnar pack path (an external
+    // Filter node would force the row path).
+    onlyBuckets: Option[Set[Int]] = None,
     waves: Int = 1,
     // job/batch discriminator mixed into chunk_id's high bits so appends
     // from several encode jobs (streaming micro-batches) to one table never
@@ -103,10 +108,17 @@ object EncodeJob {
           if Seq("doc_id", "tokens", "n_tok", "source").forall(names.contains) =>
         val Seq(iDoc, iTok, iN, iSrc) =
           Seq("doc_id", "tokens", "n_tok", "source").map(names.indexOf)
-        val (nb, sb) = (opts.numBuckets, opts.saltBuckets)
-        batches.mapPartitions(it => TokenBlocks.packColumnar(it, iDoc, iTok, iN, iSrc, nb, sb))
+        val (nb, sb, only) = (opts.numBuckets, opts.saltBuckets, opts.onlyBuckets)
+        batches.mapPartitions(it =>
+          TokenBlocks.packColumnar(it, iDoc, iTok, iN, iSrc, nb, sb, only))
       case _ =>
-        val df = withBucket(ds.toDF(), opts)
+        val withB = withBucket(ds.toDF(), opts)
+        val filtered = opts.onlyBuckets match {
+          case Some(set) =>
+            withB.filter(col("__bucket").isin(set.toSeq.map(Integer.valueOf): _*))
+          case None => withB
+        }
+        val df = filtered
           .select(col("__bucket"), col("doc_id"), col("tokens"), col("n_tok"), col("source"))
         org.apache.spark.sql.GraftBridge.toInternalRdd(df)
           .mapPartitions(TokenBlocks.pack)

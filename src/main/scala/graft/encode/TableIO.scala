@@ -103,12 +103,11 @@ object ResumableEncode {
       if (todo.nonEmpty) {
         val todoSet = todo.toSet
         io.dropBuckets(spark, todo) // clear orphans from a crashed prior attempt
-        val bucketed = EncodeJob.withBucket(input.toDF(), opts)
-          .filter(col("__bucket").isin(todoSet.toSeq.map(Integer.valueOf): _*))
-          .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
-          .as[TokenRow]
+        // bucket filter INSIDE encode: one bucket computation, and a
+        // bare-scan input keeps the columnar pack path (Buckets.of is
+        // bit-identical to the SQL expression — BucketSpec pins it)
         val t0 = System.nanoTime()
-        val chunks = EncodeJob.encode(bucketed, opts)
+        val chunks = EncodeJob.encode(input, opts.copy(onlyBuckets = Some(todoSet)))
         io.appendChunks(chunks)
         val ms = (System.nanoTime() - t0) / 1000000L
         // lineage + metrics per bucket, from the committed chunk table

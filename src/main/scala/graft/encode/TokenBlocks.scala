@@ -157,7 +157,8 @@ object TokenBlocks {
     */
   def packColumnar(batches: Iterator[org.apache.spark.sql.vectorized.ColumnarBatch],
                    iDoc: Int, iTok: Int, iN: Int, iSrc: Int,
-                   numBuckets: Int, saltBuckets: Int): Iterator[(Int, Array[Byte])] =
+                   numBuckets: Int, saltBuckets: Int,
+                   onlyBuckets: Option[Set[Int]] = None): Iterator[(Int, Array[Byte])] =
     new PackerBase {
       private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
       private var row = 0
@@ -170,9 +171,11 @@ object TokenBlocks {
         val doc = batch.column(iDoc).getUTF8String(row)
         val src = batch.column(iSrc).getUTF8String(row)
         val nTok = batch.column(iN).getInt(row)
-        val toks = batch.column(iTok).getArray(row)
         val bucket = Buckets.of(doc, nTok, src, numBuckets, saltBuckets)
-        offer(bucket, src, doc, toks)
+        if (onlyBuckets.forall(_.contains(bucket))) {
+          val toks = batch.column(iTok).getArray(row)
+          offer(bucket, src, doc, toks)
+        }
         row += 1
         true
       }
