@@ -86,6 +86,24 @@ object PipelineQueries {
     Similarity.ivfSignTopK(emb(spark, dir), queryId = 0L, k = 10)
       .select(col("vec_id"))
 
+  /** IVF against the CELL-PARTITIONED on-disk index (the 100-TB layout):
+    * index written partitionBy(__cell), probe cells computed driver-side,
+    * scan prunes to nprobe/nlist of the files (PartitionFilters asserted in
+    * PipelineSpec). Same quantizer as q_ann_ivf → same exact oracle.
+    */
+  def annIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val path = s"/tmp/graft_ivf_index_${Integer.toHexString(dir.hashCode)}"
+    // rewrite each run: cheap at verify scale and keeps the entry
+    // self-contained; at 100 TB the index is written once and reused
+    Similarity.ivfSignIndexWrite(e, path, nlist = 16, seed = 13L)
+    val qEmb = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    Similarity.ivfSignIndexQuery(spark, path, qEmb, k = 10,
+        nlist = 16, nprobe = 4, seed = 13L, excludeVecId = 0L)
+      .select(col("vec_id"))
+  }
+
   // --- text analysis -----------------------------------------------------
 
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
@@ -124,6 +142,7 @@ object PipelineQueries {
     "q_ann_brute_force" -> (annBruteForce _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_indexed" -> (annIvfIndexed _),
     "q_quality_scores" -> (qualityScores _),
     "q_token_counts" -> (tokenCounts _),
     "q_lang_id" -> (langIdPred _),
@@ -205,6 +224,9 @@ object PipelineQueries {
     "q_ann_lsh" ->
       OracleSql.annLshSql(queryId = 0L, k = 10, nBits = 4, nTables = 8, seed = 7L),
     "q_ann_ivf" ->
+      OracleSql.ivfSignSql(queryId = 0L, k = 10, nlist = 16, nprobe = 4, seed = 13L),
+    // identical semantics through the cell-partitioned on-disk index
+    "q_ann_ivf_indexed" ->
       OracleSql.ivfSignSql(queryId = 0L, k = 10, nlist = 16, nprobe = 4, seed = 13L),
     "q_dedup_simhash" -> OracleSql.simhashSql(maxHamming = 3),
     "q_fingerprint_pairs" -> OracleSql.fingerprintSql(k = 5, w = 4, minShared = 2),

@@ -118,6 +118,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cell-partitioned IVF index ON DISK — the 100-TB layout: the assigned
+    * table is written `partitionBy(__cell)` once, and every query reads
+    * ONLY its nprobe/nlist cell directories via Spark partition pruning
+    * (file-level skipping, not a post-scan filter — PipelineSpec asserts
+    * the pruned `PartitionFilters` in the physical plan). Same sign-vector
+    * quantizer as ivfSignTopK, so results are identical.
+    */
+  def ivfSignIndexWrite(emb: DataFrame, path: String, nlist: Int = 16,
+                        seed: Long = 13L): Unit = {
+    val withDots = emb.withColumn("__dots",
+      PipelineFunctions.signDots(col("embedding"), nlist, seed))
+    withDots.withColumn("__cell",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
+      .drop("__dots")
+      .write.partitionBy("__cell").mode("overwrite").parquet(path)
+  }
+
+  /** Query the on-disk index: probe cells are computed DRIVER-SIDE from the
+    * query embedding against the same seed-derived sign centroids (a few
+    * nlist-bounded dot products), so the scan filter is a literal IN over
+    * the partition column and prunes at file-listing time.
+    */
+  def ivfSignIndexQuery(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queryEmb: Array[Float], k: Int, nlist: Int = 16,
+                        nprobe: Int = 4, seed: Long = 13L,
+                        excludeVecId: Long = -1L): DataFrame = {
+    // driver-side replica of SignDots' per-centroid accumulation (ascending
+    // d in double — same order, same result)
+    val dots = (0 until nlist).map { t =>
+      var dot = 0.0
+      var d = 0
+      while (d < queryEmb.length) {
+        val sign = if ((Hashing.mix64(seed + 1000L * t + d) & 1L) == 1L) 1.0 else -1.0
+        dot += queryEmb(d) * sign
+        d += 1
+      }
+      (dot, t)
+    }
+    val probe = dots.sortBy { case (dot, t) => (-dot, t) }.take(nprobe).map(_._2)
+    val qDf = broadcast(spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(queryEmb.toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_emb",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))))))
+    spark.read.parquet(path)
+      .filter(col("__cell").isin(probe.map(Integer.valueOf): _*) &&
+        col("vec_id") =!= excludeVecId)
+      .crossJoin(qDf)
+      .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+      .orderBy(desc("cos"), col("vec_id"))
+      .select(col("vec_id"), col("cos"))
+      .limit(k)
+  }
+
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
               nprobe: Int = 4, seed: Long = 11L,
               fitSampleFraction: Double = 1.0): DataFrame = {

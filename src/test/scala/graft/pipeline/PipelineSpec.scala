@@ -68,6 +68,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(signRecall >= 0.4, s"sign-IVF recall too low: $signRecall (bf=$bf got=$ivfSign)")
   }
 
+  test("IVF on-disk index: partition pruning reads only probe cells; results equal in-memory IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    Similarity.ivfSignIndexWrite(emb, dir, nlist = 16, seed = 13L)
+    val qEmb = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val fromIndex = Similarity.ivfSignIndexQuery(spark, dir, qEmb, k = 10,
+      nlist = 16, nprobe = 4, seed = 13L, excludeVecId = 0L)
+    // physical plan must prune at the partition level — a post-scan filter
+    // on __cell would read every cell directory at 100 TB
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("__cell"), s"expected __cell partition filters, plan:\n$plan")
+    val inMem = Similarity.ivfSignTopK(emb, queryId = 0L, k = 10,
+      nlist = 16, nprobe = 4, seed = 13L)
+    val a = fromIndex.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val b = inMem.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b, s"index query differs from in-memory IVF: $a vs $b")
+  }
+
   test("embedding near-dups: LSH blocking has precision 1.0 vs exact all-pairs") {
     def vpairs(df: DataFrame): Set[(Long, Long)] =
       df.select(col("vec_a"), col("vec_b"))
