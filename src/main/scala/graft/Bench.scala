@@ -34,12 +34,16 @@ object Bench {
       .config("spark.local.dir", "/dev/shm/spark-tmp") // shuffle on tmpfs: stable timings
     // ENCODE-BENCH SESSIONS ONLY: that shuffle's payload is already
     // varint-packed (TokenBlocks), so lz4 on top was measured pure overhead
-    // with tmpfs-resident shuffle files. The headline queries shuffle
-    // UNPACKED payloads (gram arrays, embeddings) — they keep compression
-    // on (the round-2 session-wide setting inflated them badly).
+    // with tmpfs-resident shuffle files (round-2 conditions; round-3 probes
+    // hint the balance may have flipped at 32 threads now that the reduce
+    // is bandwidth-bound — SPARK_GRAFT_SHUFFLE_COMPRESS=true A/Bs it).
+    // The headline queries shuffle UNPACKED payloads (gram arrays,
+    // embeddings) — they keep compression on (the round-2 session-wide
+    // setting inflated them badly).
     if (encodeBench) {
-      b.config("spark.shuffle.compress", "false")
-      b.config("spark.shuffle.spill.compress", "false")
+      val compress = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false")
+      b.config("spark.shuffle.compress", compress)
+      b.config("spark.shuffle.spill.compress", compress)
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")

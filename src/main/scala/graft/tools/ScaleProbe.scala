@@ -15,13 +15,15 @@ object ScaleProbe {
     val cpus = args(0).toInt
     val path = args(1)
     val nb = if (args.length > 2) args(2).toInt else 64
-    // mirror Bench's session: splits sized for >=3-4 map waves per thread
+    // mirror Bench's session: splits sized for >=3-4 map waves per thread;
+    // SPARK_GRAFT_SHUFFLE_COMPRESS=true A/Bs lz4 on the block shuffle
+    val compress = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false")
     val maxPartitionBytes = math.max((1L << 30) / (4L * cpus), 16L << 20)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.shuffle.compress", compress)
+      .config("spark.shuffle.spill.compress", compress)
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-tmp")
       .getOrCreate()
