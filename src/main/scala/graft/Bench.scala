@@ -17,13 +17,26 @@ import org.apache.spark.sql.functions.col
   */
 object Bench {
 
-  private def session(cpus: Int, encodeBench: Boolean = false): SparkSession = {
+  private def session(cpus: Int): SparkSession = {
     // Scan splits must outnumber threads for decent packing: the ~0.8 GB
     // bench input is only ~7 splits at the default 128 MB, which leaves
     // threads idle at local[8]/[32] and under-reports scaling. Aim for
     // ≥3–4 waves of map tasks per thread (SCALE.md §4 tuning knob).
+    //
+    // Shuffle compression stays at Spark's DEFAULT (lz4 on) for EVERY
+    // session. Round 2 turned it off for the encode bench (the varint
+    // block payload made lz4 pure overhead when the reduce was CPU-bound);
+    // after the round-3 reduce restructuring the 32-thread case is
+    // bandwidth-bound and lz4's byte reduction through the (tmpfs) shuffle
+    // measured ≥neutral at local[32] while the A/B'd eff(8→32) rose
+    // 0.515→0.574 (BASELINE.md §6.5). A real multi-executor cluster
+    // shuffles over the network, where compression is unambiguous —
+    // default-respecting is also the honest deployment shape.
+    // SPARK_GRAFT_SHUFFLE_COMPRESS=false restores the round-2 behavior
+    // for A/B (ScaleProbe honors the same switch).
+    val compress = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true")
     val maxPartitionBytes = math.max((1L << 30) / (4L * cpus), 16L << 20)
-    val b = SparkSession.builder()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
@@ -32,20 +45,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", "/dev/shm/spark-tmp") // shuffle on tmpfs: stable timings
-    // ENCODE-BENCH SESSIONS ONLY: that shuffle's payload is already
-    // varint-packed (TokenBlocks), so lz4 on top was measured pure overhead
-    // with tmpfs-resident shuffle files (round-2 conditions; round-3 probes
-    // hint the balance may have flipped at 32 threads now that the reduce
-    // is bandwidth-bound — SPARK_GRAFT_SHUFFLE_COMPRESS=true A/Bs it).
-    // The headline queries shuffle UNPACKED payloads (gram arrays,
-    // embeddings) — they keep compression on (the round-2 session-wide
-    // setting inflated them badly).
-    if (encodeBench) {
-      val compress = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false")
-      b.config("spark.shuffle.compress", compress)
-      b.config("spark.shuffle.spill.compress", compress)
-    }
-    val s = b.getOrCreate()
+      .config("spark.shuffle.compress", compress)
+      .config("spark.shuffle.spill.compress", compress)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -124,7 +126,7 @@ object Bench {
       for (round <- 1 to 4) {
         val thisRound = scala.collection.mutable.Map.empty[Int, Double]
         for (cpus <- Seq(32, 8, 2)) {
-          val s = session(cpus, encodeBench = true)
+          val s = session(cpus)
           // one Dataset per session: file listing + schema resolution happen
           // once, not inside every timed run (they are driver-side overhead
           // a real recurring job would amortize via its catalog)
@@ -160,7 +162,7 @@ object Bench {
                            math.abs(medianE32 - minE32) > 0.04)) {
         val thisRound = scala.collection.mutable.Map.empty[Int, Double]
         for (cpus <- Seq(32, 8, 2)) {
-          val s = session(cpus, encodeBench = true)
+          val s = session(cpus)
           val input = { import s.implicits._; s.read.parquet(inputPath).as[graft.format.TokenRow] }
           val secs = (1 to 3).map(_ => encodeRun(s, input, 64)._1)
           val sec = secs.min

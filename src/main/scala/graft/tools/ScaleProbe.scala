@@ -17,7 +17,7 @@ object ScaleProbe {
     val nb = if (args.length > 2) args(2).toInt else 64
     // mirror Bench's session: splits sized for >=3-4 map waves per thread;
     // SPARK_GRAFT_SHUFFLE_COMPRESS=true A/Bs lz4 on the block shuffle
-    val compress = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false")
+    val compress = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true")
     val maxPartitionBytes = math.max((1L << 30) / (4L * cpus), 16L << 20)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
