@@ -79,9 +79,8 @@ object Queries {
     */
   def roundtripDecode(spark: SparkSession, dir: String): DataFrame = {
     val (input, _) = Tokenize.documents(spark, dir)
-    import spark.implicits._
-    val decoded = EncodeJob.decode(autoChunks(spark, dir).as[graft.format.EncodedChunk])
-    val d = decoded.toDF().select(col("doc_id"), col("n_tok"),
+    val decoded = EncodeJob.decodeDf(autoChunks(spark, dir))
+    val d = decoded.select(col("doc_id"), col("n_tok"),
       xxhash64(col("tokens")).as("__h"))
     val i = input.toDF().select(col("doc_id"), xxhash64(col("tokens")).as("__h"))
     d.join(i, Seq("doc_id", "__h"))
@@ -120,8 +119,7 @@ object Queries {
     * aggregate granularity).
     */
   def tokenCountBySource(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    EncodeJob.decode(autoChunks(spark, dir).as[graft.format.EncodedChunk]).toDF()
+    EncodeJob.decodeDf(autoChunks(spark, dir))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
   }

@@ -160,11 +160,94 @@ object EncodeJob {
     spark.createDataset(rdd)
   }
 
-  /** Decode every chunk back to token rows (bit-identical invariant). */
+  /** Decode every chunk back to token rows (bit-identical invariant).
+    * Typed facade over [[decodeDf]]: the plan is the InternalRow fast path;
+    * `.as[TokenRow]` only adds deserialization at a caller's typed boundary
+    * (collect/map), never inside the decode itself.
+    */
   def decode(chunks: Dataset[EncodedChunk]): Dataset[TokenRow] = {
     val spark = chunks.sparkSession
     import spark.implicits._
-    chunks.flatMap(ChunkOps.decodeAll)
+    decodeDf(chunks.toDF()).as[TokenRow]
+  }
+
+  private val decodedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("tokens",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false), nullable = false),
+    org.apache.spark.sql.types.StructField("n_tok",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+
+  /** Bulk decode on the InternalRow plane (D1 hot path). The round-3 typed
+    * path deserialized every chunk to an `EncodedChunk` case class and
+    * re-encoded every decoded row through the Dataset encoder — two extra
+    * copies of every token plus a String round-trip per doc id; the two
+    * decode-everything bench queries spent 30% of the round-3 total there.
+    * Here chunk fields are read by ordinal from the scan's InternalRows,
+    * doc ids become zero-copy UTF8String views over the chunk's packed id
+    * slab, token arrays go out as UnsafeArrayData (one memcpy into the
+    * output UnsafeRow — the codegen'd writer has an UnsafeArrayData fast
+    * path), and the only projection is RDDScanExec's single UnsafeProjection.
+    */
+  def decodeDf(chunkDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+    val spark = chunkDf.sparkSession
+    // fixed-ordinal projection; also prunes stats/first_doc_id out of the
+    // (possibly cached) chunk-table read
+    val proj = chunkDf.select(col("ver"), col("chunk_id"), col("codec"),
+      col("symtab"), col("data"), col("offsets"), col("row_count"),
+      col("doc_ids"), col("source"), col("crc"))
+    val rdd = org.apache.spark.sql.GraftBridge.toInternalRdd(proj).mapPartitions { it =>
+      it.flatMap { r =>
+        // scan rows are reused: every field is copied out (getBinary copies;
+        // UTF8String views are cloned) BEFORE the lazy per-row iterator below
+        val ver = r.getInt(0)
+        val chunkId = r.getLong(1)
+        val codecName = r.getUTF8String(2).toString
+        val symtab = r.getBinary(3)
+        val data = r.getBinary(4)
+        val offBytes = r.getBinary(5)
+        val rowCount = r.getInt(6)
+        val docIds = r.getBinary(7)
+        val source = r.getUTF8String(8).clone()
+        val crc = r.getLong(9)
+        require(ver == ChunkOps.FormatVersion,
+          s"chunk $chunkId: unsupported chunk format version $ver " +
+            s"(this build reads v${ChunkOps.FormatVersion}); re-encode the table")
+        require(ChunkOps.chunkCrc(data, symtab, offBytes, docIds) == crc,
+          s"chunk $chunkId: crc mismatch")
+        val dec = graft.core.Codecs.byName(codecName).decoder(symtab)
+        val offs = graft.format.Offsets.unpack(offBytes, rowCount)
+        new Iterator[InternalRow] {
+          private var i = 0
+          private var idPos = 0
+          def hasNext: Boolean = i < rowCount
+          def next(): InternalRow = {
+            // inline varUInt over the packed id slab; the UTF8String is a
+            // VIEW into docIds (fresh per chunk, shared across its rows)
+            var len = 0
+            var shift = 0
+            var b = 0
+            do {
+              b = docIds(idPos) & 0xff; idPos += 1
+              len |= (b & 0x7f) << shift; shift += 7
+            } while ((b & 0x80) != 0)
+            val id = org.apache.spark.unsafe.types.UTF8String.fromBytes(docIds, idPos, len)
+            idPos += len
+            val toks = dec.decode(data, offs(i), offs(i + 1))
+            i += 1
+            new GenericInternalRow(Array[Any](
+              id, UnsafeArrayData.fromPrimitiveArray(toks), toks.length, source))
+          }
+        }
+      }
+    }
+    org.apache.spark.sql.GraftBridge.internalCreateDataFrame(spark, rdd, decodedSchema)
   }
 
   /** Size accounting mirroring the reference (blob + offsets + header;

@@ -68,7 +68,9 @@ case class DecodeRow(enc: Expression, header: Expression, codecName: Expression)
 
   def decodeOne(e: Array[Byte], h: Array[Byte], c: UTF8String): ArrayData = {
     val dec = EvalCaches.decoder(c.toString, h)
-    new GenericArrayData(dec.decode(e, 0, e.length))
+    // UnsafeArrayData.fromPrimitiveArray = one memcpy; GenericArrayData(int[])
+    // boxes every element AND forces the row writer into an element loop
+    UnsafeArrayData.fromPrimitiveArray(dec.decode(e, 0, e.length))
   }
 
   override protected def nullSafeEval(e: Any, h: Any, c: Any): Any =

@@ -39,6 +39,19 @@ object GraftBridge {
     }
   }
 
+  /** DataFrame over an InternalRow RDD without a row Encoder — the decode
+    * hot path's output side: decoded rows are emitted as InternalRows
+    * (UTF8String + UnsafeArrayData) and enter the plan through one
+    * UnsafeProjection in RDDScanExec, instead of per-row case-class
+    * construction + Dataset-encoder serialization (two extra copies of
+    * every token, the round-3 bench's dominant query cost).
+    */
+  def internalCreateDataFrame(spark: SparkSession,
+                              rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+                              schema: types.StructType): DataFrame =
+    classic.ClassicConversions.castToImpl(spark)
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Bit-exact Spark xxhash64 primitives (the bucket function must evaluate
     * identically through the SQL path and the columnar pack path).
     */
