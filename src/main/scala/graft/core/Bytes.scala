@@ -92,6 +92,54 @@ final class ByteReader(val bytes: Array[Byte], from: Int, val to: Int) {
   def readZigZag(): Int = { val u = readVarUInt(); (u >>> 1) ^ -(u & 1) }
 }
 
+/** Word-at-a-time byte search (SWAR). The JVM analog of the reference's
+  * 4-byte escape-mask decode fast path (/root/reference/src/FsstWrapper.hpp:89-110):
+  * the FSST decoder's escape-free segment scan reads 8 bytes as one
+  * little-endian long (intrinsified VarHandle view) and mask-tests for the
+  * 0xFF escape marker, so a typical low-escape chunk scans its code stream
+  * at word speed instead of byte speed.
+  */
+object Swar {
+  // Platform.getLong (static, primitive, JIT-intrinsified) instead of a
+  // VarHandle byte-array view: Scala cannot express the exact-signature
+  // polymorphic call, so VarHandle.get boxes every word (measured 2× SLOWER
+  // than the byte loop it replaced).
+  private final val Ones = 0x0101010101010101L
+  private final val Highs = 0x8080808080808080L
+  private final val ArrayBase = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+  // getLong reads in NATIVE order; 0xFF-byte presence is order-independent
+  // but the first-match position is taken from the low end on LE, high on BE
+  private final val IsLE =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN
+
+  /** First index in [from, to) where bytes(i) == 0xFF, else `to`.
+    * Zero-byte detect on the complement: `(y-0x01..) & ~y & 0x80..` has its
+    * LOWEST set 0x80 bit exactly at y's first zero byte (higher bytes can
+    * false-positive from borrow propagation, so only the first-byte-order
+    * end of the mask is used).
+    */
+  def indexOfFF(bytes: Array[Byte], from: Int, to: Int): Int = {
+    var i = from
+    while (i + 8 <= to) {
+      val y = ~org.apache.spark.unsafe.Platform.getLong(bytes, ArrayBase + i)
+      val m = (y - Ones) & ~y & Highs
+      if (m != 0L) {
+        return i + (if (IsLE) java.lang.Long.numberOfTrailingZeros(m) >>> 3
+                    else {
+                      // recheck byte-wise from the high end: BE borrow
+                      // propagation runs the other way, so scan plainly
+                      var j = i
+                      while (bytes(j) != -1) j += 1
+                      j - i
+                    })
+      }
+      i += 8
+    }
+    while (i < to && bytes(i) != -1) i += 1
+    i
+  }
+}
+
 object Varint {
   /** Encoded size in bytes of zigzag+LEB128 for token t (1..5). */
   def zigzagLen(t: Int): Int = {

@@ -82,10 +82,10 @@ object FsstTokenCodec extends ChunkCodec {
     private val flatOff = st.flatOffsets
     // Hot-loop discipline (the JVM analog of the reference's word-wise
     // escape-mask decode fast path, /root/reference/src/FsstWrapper.hpp:89-110):
-    // scan ahead to the next escape marker with a memchr-style byte loop
-    // (0xFF is -1 as a signed byte — a single compare, no masking), then
-    // expand the escape-free code segment with NO per-byte escape branch.
-    // Local cursors, inlined varints, one flat contiguous symbol array.
+    // scan ahead to the next escape marker with a SWAR word scan (8 bytes
+    // per mask test, Swar.indexOfFF), then expand the escape-free code
+    // segment with NO per-byte escape branch. Local cursors, inlined
+    // varints, one flat contiguous symbol array.
     def decode(bytes: Array[Byte], from: Int, to: Int): Array[Int] = {
       var pos = from
       var n = 0
@@ -100,8 +100,7 @@ object FsstTokenCodec extends ChunkCodec {
       while (k < n) {
         if (pos >= to) throw new IllegalStateException("truncated fsst row")
         // segment = maximal escape-free run of code bytes
-        var seg = pos
-        while (seg < to && bytes(seg) != -1) seg += 1
+        val seg = Swar.indexOfFF(bytes, pos, to)
         while (pos < seg) {
           val c = bytes(pos) & 0xff
           pos += 1

@@ -10,6 +10,9 @@ import graft.spark.SyntheticData
 object KernelBench {
   def main(args: Array[String]): Unit = {
     val nRows = if (args.nonEmpty) args(0).toInt else 20000
+    // optional 2nd arg: force one codec on every source (e.g. "fsst" to
+    // isolate the FSST decode kernel across distributions)
+    val force = if (args.length > 1) Some(args(1)) else None
     val rows = (0L until nRows.toLong).map(SyntheticData.row)
     for (src <- Seq("zipf", "lowcard", "runs", "narrow", "skew")) {
       val rs: IndexedSeq[Array[Int]] = rows.filter(_.source == src).map(_.tokens)
@@ -18,7 +21,12 @@ object KernelBench {
       val stats = ChunkStats.compute(rs)
       val tStats = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
-      val choice = CodecSelector.choose(rs, stats)
+      val choice = force match {
+        case Some(name) =>
+          val c = Codecs.byName(name)
+          CodecSelector.Choice(c, c.buildHeader(TokenRows.ofArrays(rs), stats), 0L)
+        case None => CodecSelector.choose(rs, stats)
+      }
       val tSel = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       val header = choice.codec.buildHeader(rs, stats)
