@@ -296,13 +296,22 @@ object Bench {
       val (nBpD, tBpD) = best(
         EncodeJob.decode(bpChunks.as[graft.format.EncodedChunk]).toDF()
           .filter(Graft.startsWithTokens(col("tokens"), bpPat)).count())
-      require(nDictS == nDictD && nRleS == nRleD && nBpS == nBpD,
-        s"packed-domain scans disagree with decode: dict $nDictS/$nDictD rle $nRleS/$nRleD bp $nBpS/$nBpD")
+      // bitpack-domain CONTAINS (round 4): sliding bit-phase images over the
+      // packed stream, vs decode-then-match on the same chunks
+      val bpCPat = Seq(7, 7)
+      val (nBpCS, tBpCS) = best(
+        Graft.scanPattern(bpChunks, graft.core.PatternMode.Contains, Seq(bpCPat)).count())
+      val (nBpCD, tBpCD) = best(
+        EncodeJob.decode(bpChunks.as[graft.format.EncodedChunk]).toDF()
+          .filter(Graft.containsTokens(col("tokens"), bpCPat)).count())
+      require(nDictS == nDictD && nRleS == nRleD && nBpS == nBpD && nBpCS == nBpCD,
+        s"packed-domain scans disagree with decode: dict $nDictS/$nDictD rle $nRleS/$nRleD " +
+          s"bp $nBpS/$nBpD bpContains $nBpCS/$nBpCD")
       dictChunks.unpersist()
       rleChunks.unpersist()
       bpChunks.unpersist()
 
-      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f}"""
+      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f}"""
     }
 
     spark.stop()

@@ -107,18 +107,195 @@ object PackedEquals {
   }
 }
 
-/** Anchored (prefix/suffix) matching on FoR/bitpack rows WITHOUT decoding
-  * the row: the per-row base made these codecs decode-then-match in earlier
-  * rounds; anchored modes only need the first (or last) m stored values, so
-  * the matcher reads the row's base (one varint, FoR only) and unpack-
-  * compares exactly m width-bit values against (pattern − base) — the
+/** Pattern matching on FoR/bitpack rows WITHOUT decoding the row — the
   * reference's constant-re-encode idea (/root/reference/src/FsstWrapper.cpp:124-144)
-  * applied against each row's own frame. Work is O(m) per row with early
-  * exit; the row's remaining tokens are never touched. Contains stays
-  * decode-then-match for these codecs (a sliding bit-phase compare is a
-  * whole-row scan anyway).
+  * applied against each row's own frame:
+  *
+  * - prefix/suffix: the matcher reads the row's base (one varint, FoR only)
+  *   and unpack-compares exactly m width-bit values against (pattern − base)
+  *   — O(m) per row with early exit, remaining tokens never touched.
+  * - contains/multi-infix (round 4, closing the reference's O2 principle for
+  *   the positional codecs, /root/reference/src/algos/Comet.hpp:63-96): the
+  *   pattern's width-bit deltas are packed into ≤8 BIT-PHASE IMAGES (one per
+  *   value of (s·width) mod 8, built lazily) with first/last-byte masks; a
+  *   candidate start s then costs one masked byte compare per image byte,
+  *   usually failing on the first — the packed stream is scanned in place,
+  *   no token ever materializes. For bitpack the images are row-independent
+  *   (base 0) and shared across the chunk via [[prepare]]; FoR images embed
+  *   the row's base and rebuild per row.
+  *
+  * Aliasing guards mirror PackedEquals: a pattern token outside the row's
+  * representable range [base, base+2^width) proves non-match (packing would
+  * have truncated it into a different value).
   */
 object PackedAnchor {
+
+  /** ≤8 phase images of `deltas` packed LSB-first at `width` bits: image p
+    * holds the pattern bits shifted to start at in-byte bit offset p, plus a
+    * bit mask selecting exactly the pattern's bits. Built on first use per
+    * phase (widths divisible by 8 only ever touch phase 0; generally
+    * 8/gcd(width,8) phases occur).
+    */
+  private final class PhaseImages(width: Int, deltas: Array[Int]) {
+    private val imgs = new Array[Array[Byte]](8)
+    private val msks = new Array[Array[Byte]](8)
+
+    private def build(p: Int): Unit = {
+      val totalBits = p + deltas.length * width
+      val len = (totalBits + 7) >>> 3
+      val img = new Array[Byte](len)
+      var acc = 0L
+      var nbits = p // low p bits stay 0 (masked out anyway)
+      var bp = 0
+      var i = 0
+      while (i < deltas.length) {
+        acc |= (deltas(i).toLong & 0xffffffffL) << nbits
+        nbits += width
+        while (nbits >= 8) { img(bp) = (acc & 0xff).toByte; acc >>>= 8; nbits -= 8; bp += 1 }
+        i += 1
+      }
+      if (nbits > 0) img(bp) = (acc & 0xff).toByte
+      val msk = new Array[Byte](len)
+      java.util.Arrays.fill(msk, 0xff.toByte)
+      msk(0) = (msk(0) & (0xff << p)).toByte
+      val lastBits = ((totalBits - 1) & 7) + 1
+      msk(len - 1) = (msk(len - 1) & ((1 << lastBits) - 1)).toByte
+      imgs(p) = img
+      msks(p) = msk
+    }
+
+    /** First start index s ∈ [fromIdx, n−m] whose packed window equals the
+      * pattern image, else −1.
+      */
+    def find(bytes: Array[Byte], payloadStart: Int, n: Int, fromIdx: Int): Int = {
+      val m = deltas.length
+      var s = fromIdx
+      while (s + m <= n) {
+        val bitpos = s.toLong * width
+        val p = (bitpos & 7L).toInt
+        if (imgs(p) == null) build(p)
+        val img = imgs(p)
+        val msk = msks(p)
+        val off = payloadStart + (bitpos >>> 3).toInt
+        var j = 0
+        var ok = true
+        while (ok && j < img.length) {
+          if (((bytes(off + j) ^ img(j)) & msk(j)) != 0) ok = false
+          j += 1
+        }
+        if (ok) return s
+        s += 1
+      }
+      -1
+    }
+  }
+
+  /** Per-(chunk, pattern) matcher: codec header parsed once, bitpack phase
+    * images and range guards computed once, then [[evalRow]] per row slice.
+    * The chunk matcher builds one per chunk; the per-row expression caches
+    * one per header (HeaderCache in query.Expressions).
+    */
+  final class Prepared(codecName: String, header: Array[Byte], mode: String,
+                       parts: Array[Array[Int]]) {
+    private val width = header(0) & 0xff
+    private val isFor = codecName == ForCodec.name
+    private val rangeMask = if (width >= 32) 0xffffffffL else (1L << width) - 1
+    private val sliding = mode == PatternMode.Contains || mode == PatternMode.MultiInfix
+    // bitpack deltas ARE the pattern tokens: images row-independent
+    private val bpImages: Array[PhaseImages] =
+      if (!isFor && sliding && width > 0) parts.map(p => new PhaseImages(width, p))
+      else null
+    // bitpack range guard, row-independent: any out-of-range token → the
+    // whole CHUNK is matchless (bitpack truncation would alias)
+    private val bpValid: Boolean =
+      isFor || parts.forall(p => p.forall(t => t >= 0 && t <= rangeMask))
+
+    private def slidingImages(base: Int): Array[PhaseImages] = {
+      if (!isFor) return bpImages
+      // FoR: deltas embed this row's base; reject rows whose frame cannot
+      // represent some pattern token (value aliasing guard)
+      val out = new Array[PhaseImages](parts.length)
+      var k = 0
+      while (k < parts.length) {
+        val p = parts(k)
+        val d = new Array[Int](p.length)
+        var i = 0
+        while (i < p.length) {
+          val delta = p(i).toLong - base
+          if (delta < 0 || delta > rangeMask) return null
+          d(i) = delta.toInt
+          i += 1
+        }
+        out(k) = new PhaseImages(width, d)
+        k += 1
+      }
+      out
+    }
+
+    def evalRow(bytes: Array[Byte], from: Int, to: Int): Boolean = {
+      if (!bpValid) return false
+      val r = new ByteReader(bytes, from, to)
+      val n = r.readVarUInt()
+      mode match {
+        case PatternMode.Prefix | PatternMode.Suffix =>
+          val part = parts(0)
+          val m = part.length
+          if (m == 0) return true
+          if (n < m) return false
+          val base = if (isFor) r.readZigZag() else 0
+          val startIdx = if (mode == PatternMode.Prefix) 0L else (n - m).toLong
+          matchAt(bytes, r.pos, width, startIdx, part, base)
+        case PatternMode.Contains =>
+          val part = parts(0)
+          if (part.length == 0) return true
+          if (n < part.length) return false
+          val base = if (isFor) r.readZigZag() else 0
+          if (width == 0) {
+            // every stored value equals base
+            var i = 0
+            while (i < part.length) { if (part(i) != base) return false; i += 1 }
+            true
+          } else {
+            val imgs = slidingImages(base)
+            imgs != null && imgs(0).find(bytes, r.pos, n, 0) >= 0
+          }
+        case PatternMode.MultiInfix =>
+          if (parts.isEmpty) return true
+          var total = 0
+          parts.foreach(total += _.length)
+          if (n < total) return false
+          val base = if (isFor) r.readZigZag() else 0
+          if (width == 0) {
+            var k = 0
+            while (k < parts.length) {
+              val p = parts(k)
+              var i = 0
+              while (i < p.length) { if (p(i) != base) return false; i += 1 }
+              k += 1
+            }
+            true
+          } else {
+            val imgs = slidingImages(base)
+            if (imgs == null) return false
+            // ordered, non-overlapping, greedy-first-match (TokenMatch.multiInfix)
+            var pos = 0
+            var k = 0
+            while (k < parts.length) {
+              val idx = imgs(k).find(bytes, r.pos, n, pos)
+              if (idx < 0) return false
+              pos = idx + parts(k).length
+              k += 1
+            }
+            true
+          }
+        case _ => throw new IllegalArgumentException(s"unsupported packed mode $mode")
+      }
+    }
+  }
+
+  def prepare(codecName: String, header: Array[Byte], mode: String,
+              parts: Array[Array[Int]]): Prepared =
+    new Prepared(codecName, header, mode, parts)
 
   /** Compare stored values [startIdx, startIdx+m) of an LSB-first packed
     * payload at `payloadStart` against part(i) − base.
@@ -160,23 +337,21 @@ object PackedAnchor {
     true
   }
 
-  /** Prefix/suffix eval on one FoR or bitpack row slice. */
+  /** One-shot eval on one row slice (tests/fuzz; hot paths hold a
+    * [[Prepared]] instead).
+    */
   def eval(codecName: String, header: Array[Byte], bytes: Array[Byte],
-           from: Int, to: Int, mode: String, part: Array[Int]): Boolean = {
-    val m = part.length
-    if (m == 0) return true
-    val width = header(0) & 0xff
-    val r = new ByteReader(bytes, from, to)
-    val n = r.readVarUInt()
-    if (n < m) return false
-    val base = if (codecName == ForCodec.name) r.readZigZag() else 0
-    val startIdx = if (mode == PatternMode.Prefix) 0L else (n - m).toLong
-    matchAt(bytes, r.pos, width, startIdx, part, base)
-  }
+           from: Int, to: Int, mode: String, parts: Array[Array[Int]]): Boolean =
+    prepare(codecName, header, mode, parts).evalRow(bytes, from, to)
+
+  def eval(codecName: String, header: Array[Byte], bytes: Array[Byte],
+           from: Int, to: Int, mode: String, part: Array[Int]): Boolean =
+    eval(codecName, header, bytes, from, to, mode, Array(part))
 
   def supports(codecName: String, mode: String): Boolean =
     (codecName == ForCodec.name || codecName == BitPackCodec.name) &&
-      (mode == PatternMode.Prefix || mode == PatternMode.Suffix)
+      (mode == PatternMode.Prefix || mode == PatternMode.Suffix ||
+        mode == PatternMode.Contains || mode == PatternMode.MultiInfix)
 }
 
 /** Run-level matching on the RLE row byte stream (varUInt n, then

@@ -142,6 +142,10 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
   // equals-mode pattern image per (codec, header) — canonical-encoding E5
   @transient private lazy val equalsImages =
     scala.collection.concurrent.TrieMap.empty[String, HeaderCache[Option[Array[Byte]]]]
+  // FoR/bitpack packed-domain matcher per (codec, header) — phase images and
+  // range guards are built once per chunk header, not per row
+  @transient private lazy val packedPrepared =
+    scala.collection.concurrent.TrieMap.empty[String, HeaderCache[PackedAnchor.Prepared]]
   override def first: Expression = enc
   override def second: Expression = header
   override def third: Expression = codecName
@@ -174,7 +178,10 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
       val (pvs, pcs, lens) = patRuns
       RleMatch.eval(mode, bytes, 0, bytes.length, pvs, pcs, lens)
     } else if (PackedAnchor.supports(codec, mode)) {
-      PackedAnchor.eval(codec, headerBytes, bytes, 0, bytes.length, mode, partsArr(0))
+      packedPrepared.getOrElseUpdate(codec,
+        new HeaderCache[PackedAnchor.Prepared](
+          h => PackedAnchor.prepare(codec, h, mode, partsArr)))
+        .get(headerBytes).evalRow(bytes, 0, bytes.length)
     } else {
       val dec = EvalCaches.decoder(codec, headerBytes)
       TokenMatch.eval(mode, partsArr, dec.decode(bytes, 0, bytes.length))
@@ -325,11 +332,14 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
         i += 1
       }
     } else if (PackedAnchor.supports(codec, mode)) {
-      // FoR/bitpack anchored matching: O(m) unpack-compare per row against
-      // the row's own base, no decode (PackedAnchor scaladoc).
+      // FoR/bitpack packed-domain matching: anchored modes unpack-compare
+      // O(m) values against the row's own frame; contains/multi-infix slide
+      // the pattern's bit-phase images over the packed stream — either way
+      // no row ever decodes (PackedAnchor scaladoc). Prepared once per chunk.
+      val prep = PackedAnchor.prepare(codec, header, mode, partsArr)
       var i = 0
       while (i < rowCount) {
-        nextId(PackedAnchor.eval(codec, header, data, offs(i), offs(i + 1), mode, partsArr(0)))
+        nextId(prep.evalRow(data, offs(i), offs(i + 1)))
         i += 1
       }
     } else {

@@ -129,7 +129,12 @@ class QuerySpec extends AnyFunSuite {
           PatternMode.Prefix -> Seq(Seq(v("key"))),
           PatternMode.Prefix -> Seq(Seq(v("key"), v("agg"))),
           PatternMode.Suffix -> Seq(Seq(v("value"))),
-          PatternMode.Prefix -> Seq(Seq(999999)))) { // outside every frame
+          PatternMode.Prefix -> Seq(Seq(999999)), // outside every frame
+          // round 4: sliding bit-phase matching — no decode for these either
+          PatternMode.Contains -> Seq(Seq(v("value"), v("table"))),
+          PatternMode.Contains -> Seq(Seq(v("scan"))),
+          PatternMode.Contains -> Seq(Seq(999999)),
+          PatternMode.MultiInfix -> Seq(Seq(v("table")), Seq(v("scan"))))) {
         val want = input.toDF().filter(mkPred(mode, parts, col("tokens"))).select("doc_id")
         val gotScan = Graft.scanPattern(forced, mode, parts)
         assert(want.except(gotScan).isEmpty && gotScan.except(want).isEmpty,

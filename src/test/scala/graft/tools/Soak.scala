@@ -134,11 +134,13 @@ object Soak {
       }
     }, 2000)
 
-    // FoR/bitpack anchored matching (PackedAnchor): prefix/suffix without
-    // decode must agree with the token-domain oracle on every row,
-    // including per-row bases (FoR), width-0 chunks, and pattern tokens
-    // outside a row's frame.
-    check("packed-anchor-vs-oracle", Prop.forAll(Gen.listOfN(15, genRow), genPart) { (rowsL, part) =>
+    // FoR/bitpack packed-domain matching (PackedAnchor): prefix/suffix
+    // (O(m) anchored compare) AND contains/multi-infix (bit-phase sliding
+    // images, round 4) without decode must agree with the token-domain
+    // oracle on every row, including per-row bases (FoR), width-0 chunks,
+    // and pattern tokens outside a row's frame.
+    check("packed-anchor-vs-oracle", Prop.forAll(Gen.listOfN(15, genRow), genPart, genPart) {
+      (rowsL, part, part2) =>
       val rows0 = rowsL.toIndexedSeq
       val rows = if (rows0.forall(_.isEmpty)) rows0 :+ Array(1) else rows0
       val stats = ChunkStats.compute(rows)
@@ -151,10 +153,15 @@ object Soak {
         val offs = new Array[Int](rows.length + 1)
         rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
         val data = out.toBytes
+        val multi = PatternMode.normalize(PatternMode.MultiInfix, Array(part, part2))
         rows.indices.forall { i =>
-          Seq(PatternMode.Prefix, PatternMode.Suffix).forall { m =>
+          Seq(PatternMode.Prefix, PatternMode.Suffix, PatternMode.Contains).forall { m =>
             PackedAnchor.eval(codec.name, header, data, offs(i), offs(i + 1), m, part) ==
               TokenMatch.eval(m, Array(part), rows(i))
+          } && {
+            PackedAnchor.eval(codec.name, header, data, offs(i), offs(i + 1),
+              PatternMode.MultiInfix, multi) ==
+              TokenMatch.eval(PatternMode.MultiInfix, multi, rows(i))
           }
         }
       }
