@@ -171,7 +171,7 @@ object EncodeJob {
     decodeDf(chunks.toDF()).as[TokenRow]
   }
 
-  private val decodedSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[graft] val decodedSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("tokens",

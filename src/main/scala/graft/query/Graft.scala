@@ -136,29 +136,95 @@ object Graft {
 
   /** Late materialization (the reference's decode-only-matches behavior,
     * /root/reference/sketch.cc:921-927): match on compressed bytes, then
-    * decode ONLY the matching rows of each chunk.
+    * decode ONLY the matching rows of each chunk. Typed facade over
+    * [[scanAndDecodeDf]] (the plan is the InternalRow path either way).
     */
   def scanAndDecode(chunks: Dataset[EncodedChunk], mode: String,
                     parts: Seq[Seq[Int]]): Dataset[graft.format.TokenRow] = {
     val spark = chunks.sparkSession
     import spark.implicits._
+    scanAndDecodeDf(chunks.toDF(), mode, parts).as[graft.format.TokenRow]
+  }
+
+  /** Late materialization on the InternalRow plane (mirrors
+    * EncodeJob.decodeDf — round 4): the match runs on compressed bytes in
+    * each codec's own domain (FSST DFA / packed bit-phase / decode-then-
+    * match fallback), matched rows decode straight to InternalRows, matched
+    * doc ids become zero-copy UTF8String views over the packed id slab. No
+    * EncodedChunk or TokenRow object ever materializes.
+    */
+  def scanAndDecodeDf(chunkDf: DataFrame, mode: String, parts: Seq[Seq[Int]]): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = chunkDf.sparkSession
     val partsArr = parts.map(_.toArray).toArray
-    chunks.flatMap { c =>
+    val proj = chunkDf.select(col("codec"), col("symtab"), col("data"),
+      col("offsets"), col("row_count"), col("doc_ids"), col("source"))
+    val rdd = GraftBridge.toInternalRdd(proj).mapPartitions { it =>
       val normalized = graft.core.PatternMode.normalize(mode, partsArr)
-      val offs = graft.format.Offsets.unpack(c.offsets, c.row_count)
-      val matched =
-        if (c.codec == graft.core.FsstTokenCodec.name) {
-          val st = graft.core.SymTab.fromBytes(c.symtab)
-          val pm = new graft.core.PatternMachine(normalized, st)
-          (0 until c.row_count).filter(i =>
-            graft.core.FsstMatch.eval(mode, pm, c.data, offs(i), offs(i + 1)))
-        } else {
-          val dec = graft.core.Codecs.byName(c.codec).decoder(c.symtab)
-          (0 until c.row_count).filter(i =>
-            graft.core.TokenMatch.eval(mode, normalized,
-              dec.decode(c.data, offs(i), offs(i + 1))))
+      it.flatMap { r =>
+        // copy every field out of the (reused) scan row before the lazy
+        // per-row iterator (getBinary copies; UTF8Strings cloned)
+        val codec = r.getUTF8String(0).toString
+        val symtab = r.getBinary(1)
+        val data = r.getBinary(2)
+        val offs = graft.format.Offsets.unpack(r.getBinary(3), r.getInt(4))
+        val rowCount = r.getInt(4)
+        val docIds = r.getBinary(5)
+        val source = r.getUTF8String(6).clone()
+        val dec = graft.core.Codecs.byName(codec).decoder(symtab)
+        val matches: Int => Boolean =
+          if (codec == graft.core.FsstTokenCodec.name) {
+            val st = graft.core.SymTab.fromBytes(symtab)
+            val pm = new graft.core.PatternMachine(normalized, st)
+            i => graft.core.FsstMatch.eval(mode, pm, data, offs(i), offs(i + 1))
+          } else if (graft.core.PackedAnchor.supports(codec, mode)) {
+            val prep = graft.core.PackedAnchor.prepare(codec, symtab, mode, normalized)
+            i => prep.evalRow(data, offs(i), offs(i + 1))
+          } else {
+            i => graft.core.TokenMatch.eval(mode, normalized,
+              dec.decode(data, offs(i), offs(i + 1)))
+          }
+        new Iterator[InternalRow] {
+          private var i = 0
+          private var idPos = 0
+          private var idAt = 0 // row index the id cursor sits on
+          private def idOf(row: Int): UTF8String = {
+            // sequential cursor over the packed slab; rows only move forward
+            while (idAt < row) {
+              var len = 0; var shift = 0; var b = 0
+              do {
+                b = docIds(idPos) & 0xff; idPos += 1
+                len |= (b & 0x7f) << shift; shift += 7
+              } while ((b & 0x80) != 0)
+              idPos += len
+              idAt += 1
+            }
+            var len = 0; var shift = 0; var b = 0
+            var p = idPos
+            do {
+              b = docIds(p) & 0xff; p += 1
+              len |= (b & 0x7f) << shift; shift += 7
+            } while ((b & 0x80) != 0)
+            UTF8String.fromBytes(docIds, p, len)
+          }
+          private def advance(): Unit =
+            while (i < rowCount && !matches(i)) i += 1
+          advance()
+          def hasNext: Boolean = i < rowCount
+          def next(): InternalRow = {
+            val id = idOf(i)
+            val toks = dec.decode(data, offs(i), offs(i + 1))
+            i += 1
+            advance()
+            new GenericInternalRow(Array[Any](
+              id, UnsafeArrayData.fromPrimitiveArray(toks), toks.length, source))
+          }
         }
-      graft.format.ChunkOps.decodeRows(c, matched.toArray)
+      }
     }
+    GraftBridge.internalCreateDataFrame(spark, rdd,
+      graft.encode.EncodeJob.decodedSchema)
   }
 }

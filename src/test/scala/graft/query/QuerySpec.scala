@@ -194,4 +194,25 @@ class QuerySpec extends AnyFunSuite {
     assert(mi > 0)
     assert(spark.sql("SELECT simhash64(tokens) FROM raw_docs LIMIT 1").head().getLong(0) != 0L)
   }
+
+  test("late materialization decodes exactly the matching rows (InternalRow path)") {
+    import spark.implicits._
+    val v = vocab
+    for ((codecName, chunkDf) <- Seq(
+        "fsst" -> chunks,
+        "bitpack" -> EncodeJob.encode(input,
+          EncodeOptions(numBuckets = 4, maxRowsPerChunk = 64,
+            forceCodec = Some("bitpack"))).toDF(),
+        "auto" -> EncodeJob.encode(input,
+          EncodeOptions(numBuckets = 4, maxRowsPerChunk = 64)).toDF());
+        (mode, parts) <- Seq(
+          PatternMode.Contains -> Seq(Seq(v("value"), v("table"))),
+          PatternMode.Prefix -> Seq(Seq(v("key"))))) {
+      val got = Graft.scanAndDecodeDf(chunkDf, mode, parts)
+        .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      val want = input.toDF().filter(mkPred(mode, parts, col("tokens")))
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName/$mode late-decode differs from raw oracle")
+    }
+  }
 }
