@@ -38,6 +38,28 @@ class EncodeSpec extends AnyFunSuite {
     assert(decoded.count() == input.count())
   }
 
+  test("decode rejects corrupt data and unsupported format versions") {
+    import spark.implicits._
+    val (input, _) = Tokenize.documents(spark, sf)
+    val chunks = EncodeJob.encode(input, EncodeOptions(numBuckets = 2)).cache()
+    // flip one payload byte → the whole-chunk crc must fire on the
+    // InternalRow decode path
+    val corrupt = chunks.map { c =>
+      val d = c.data.clone(); d(d.length / 2) = (d(d.length / 2) ^ 0x40).toByte
+      c.copy(data = d)
+    }
+    val e1 = intercept[org.apache.spark.SparkException] {
+      EncodeJob.decodeDf(corrupt.toDF()).count()
+    }
+    assert(e1.getMessage.contains("crc mismatch"))
+    // future-format chunks must fail with a clear version error, not a crc one
+    val future = chunks.map(c => c.copy(ver = ChunkOps.FormatVersion + 1))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      EncodeJob.decodeDf(future.toDF()).count()
+    }
+    assert(e2.getMessage.contains("unsupported chunk format version"))
+  }
+
   test("encode is deterministic: same input and options → identical chunk table") {
     val (input, _) = Tokenize.documents(spark, sf)
     val opts = EncodeOptions(numBuckets = 4, maxRowsPerChunk = 32, maxTokensPerChunk = 8192)
