@@ -79,6 +79,22 @@ object Graft {
     reg.createOrReplaceTempFunction("shingle_hashes",
       es => graft.pipeline.ShingleHashes(es(0),
         es(1).eval().asInstanceOf[Int]), "scala_udf")
+    // remaining pipeline kernels, so every native expression is reachable
+    // from spark.sql(...) — parameters must be foldable literals
+    def litInt(e: Expression): Int = {
+      require(e.foldable, s"parameter must be a literal: $e")
+      e.eval().asInstanceOf[Int]
+    }
+    def litLong(e: Expression): Long = {
+      require(e.foldable, s"parameter must be a literal: $e")
+      e.eval() match { case i: Int => i.toLong; case l: Long => l }
+    }
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => graft.pipeline.MinHashSig(es(0), litInt(es(1)), litLong(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fingerprint",
+      es => graft.pipeline.WinnowFingerprint(es(0), litInt(es(1)), litInt(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_buckets",
+      es => graft.pipeline.LshBuckets(es(0), litInt(es(1)), litInt(es(2)), litLong(es(3))), "scala_udf")
   }
 
   private def col2expr(c: Column): Expression = GraftBridge.expression(c)

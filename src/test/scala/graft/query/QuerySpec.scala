@@ -193,6 +193,24 @@ class QuerySpec extends AnyFunSuite {
       .head().getLong(0)
     assert(mi > 0)
     assert(spark.sql("SELECT simhash64(tokens) FROM raw_docs LIMIT 1").head().getLong(0) != 0L)
+    // every pipeline kernel is reachable from SQL and agrees with the
+    // column API on the same row
+    val sqlRow = spark.sql(
+      """SELECT minhash_sig(shingle_hashes(tokens, 3), 16, 42L) AS mh,
+        |       winnow_fingerprint(tokens, 3, 4) AS wf,
+        |       lsh_buckets(CAST(array(0.5, -1.0, 2.0) AS array<float>), 4, 2, 3L) AS lb
+        |  FROM raw_docs ORDER BY doc_id LIMIT 1""".stripMargin).head()
+    import graft.pipeline.PipelineFunctions
+    val apiRow = spark.table("raw_docs").orderBy("doc_id")
+      .select(
+        PipelineFunctions.minhashSig(PipelineFunctions.shingleHashes(col("tokens"), 3), 16, 42L).as("mh"),
+        PipelineFunctions.winnowFingerprint(col("tokens"), 3, 4).as("wf"),
+        PipelineFunctions.lshBuckets(
+          array(lit(0.5f), lit(-1.0f), lit(2.0f)), 4, 2, 3L).as("lb"))
+      .head()
+    assert(sqlRow.getSeq[Long](0) == apiRow.getSeq[Long](0))
+    assert(sqlRow.getSeq[Long](1) == apiRow.getSeq[Long](1))
+    assert(sqlRow.getSeq[Long](2) == apiRow.getSeq[Long](2))
   }
 
   test("late materialization decodes exactly the matching rows (InternalRow path)") {
