@@ -139,10 +139,9 @@ object Soak {
     // images, round 4) without decode must agree with the token-domain
     // oracle on every row, including per-row bases (FoR), width-0 chunks,
     // and pattern tokens outside a row's frame.
-    check("packed-anchor-vs-oracle", Prop.forAll(Gen.listOfN(15, genRow), genPart, genPart) {
-      (rowsL, part, part2) =>
-      val rows0 = rowsL.toIndexedSeq
-      val rows = if (rows0.forall(_.isEmpty)) rows0 :+ Array(1) else rows0
+    def packedAnchorCase(rowsIn: IndexedSeq[Array[Int]],
+                         part: Array[Int], part2: Array[Int]): Boolean = {
+      val rows = if (rowsIn.forall(_.isEmpty)) rowsIn :+ Array(1) else rowsIn
       val stats = ChunkStats.compute(rows)
       val codecs: Seq[ChunkCodec] =
         if (stats.minTok >= 0) Seq(ForCodec, BitPackCodec) else Seq(ForCodec)
@@ -165,6 +164,26 @@ object Soak {
           }
         }
       }
+    }
+
+    check("packed-anchor-vs-oracle", Prop.forAll(Gen.listOfN(15, genRow), genPart, genPart) {
+      (rowsL, part, part2) => packedAnchorCase(rowsL.toIndexedSeq, part, part2)
+    }, 2000)
+
+    // wide widths + all bit phases: rows are base+delta with base anywhere
+    // in int range (bitpack width up to 31 bits when base ≥ 0; FoR stays
+    // narrow per-row while patterns may fall outside a row's frame),
+    // including negative bases (FoR-only path)
+    val genWideCase: Gen[(IndexedSeq[Array[Int]], Array[Int], Array[Int])] = for {
+      base <- Gen.oneOf(Gen.choose(0, Int.MaxValue - 64),
+        Gen.choose(-(1 << 30), 1 << 30), Gen.const(0))
+      mk = (n: Int) => Gen.containerOfN[Array, Int](n, Gen.choose(0, 50).map(d => base + d))
+      rows <- Gen.listOfN(12, Gen.choose(0, 40).flatMap(mk))
+      p1 <- Gen.choose(1, 6).flatMap(mk)
+      p2 <- Gen.choose(1, 6).flatMap(mk)
+    } yield (rows.toIndexedSeq, p1, p2)
+    check("packed-anchor-wide-vs-oracle", Prop.forAll(genWideCase) {
+      case (rows, p1, p2) => packedAnchorCase(rows, p1, p2)
     }, 2000)
 
     check("set-cover-gate-sound", Prop.forAll(Gen.listOfN(20, genRow), genPart) { (rowsL, part) =>
