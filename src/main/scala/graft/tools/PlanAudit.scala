@@ -85,6 +85,25 @@ object PlanAudit {
       println("q_dedup_minhash: banded join carries keys only (payload re-joined by id)")
     }
     df0Explain(ngram)
+
+    println("=== [7] decode stays on the InternalRow plane (no encoder round-trip) ===")
+    // round-4 rule: decodeDf / scanAndDecodeDf must never re-grow the typed
+    // Dataset serialization the round-3 bench paid for (two extra copies of
+    // every token). Their plans must be RDD scans with one projection — no
+    // object (de)serializers, no mapelements.
+    locally {
+      val chunkDf = EncodeJob.encode(input, EncodeOptions(numBuckets = 4)).toDF()
+      for ((name, df) <- Seq(
+          "decodeDf" -> EncodeJob.decodeDf(chunkDf),
+          "scanAndDecodeDf" -> graft.query.Graft.scanAndDecodeDf(
+            chunkDf, graft.core.PatternMode.Contains, Seq(Seq(1))))) {
+        val plan = df.queryExecution.executedPlan.toString
+        val bad = Seq("DeserializeToObject", "SerializeFromObject", "MapElements",
+          "AppendColumns").filter(plan.contains)
+        require(bad.isEmpty, s"$name plan re-grew object serialization: $bad")
+        println(s"$name: InternalRow plan OK (no object serializers)")
+      }
+    }
     spark.stop()
   }
 
