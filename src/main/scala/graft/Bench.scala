@@ -311,7 +311,15 @@ object Bench {
       rleChunks.unpersist()
       bpChunks.unpersist()
 
-      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f}"""
+      // full-decompression throughput (the reference's M4 bench,
+      // /root/reference/sketch.cc:1145-1197): decode EVERY row of the
+      // auto-codec chunk table from storage, tokens/s
+      val (decToks, tDecAll) = best {
+        EncodeJob.decodeDf(autoChunks)
+          .agg(org.apache.spark.sql.functions.sum(col("n_tok"))).collect()(0).getLong(0)
+      }
+
+      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
     }
 
     spark.stop()
