@@ -21,31 +21,55 @@ final class SymTab(val syms: Array[Array[Int]]) extends Serializable {
 
   val nSymbols: Int = syms.length
 
-  /** Two-level lookup for canonical greedy longest-match: multi-token
-    * symbols are keyed by their first TWO tokens (candidate lists stay tiny
-    * even when one hot token starts many symbols), single-token symbols by
-    * the token itself. Candidate lists are longest-first (then lowest code).
+  /** One-lookup index for canonical greedy longest-match: everything known
+    * about a FIRST token — its single-token code (−1 if none) and its
+    * multi-token candidates grouped by SECOND token, longest-first (then
+    * lowest code) within a group — lives in one entry, so the encode hot
+    * loop pays exactly ONE hash probe per position (the round-3 two-level
+    * pair/single split paid two on every non-pair position, which escape-
+    * heavy sources hit for ~half their tokens). Second tokens per entry are
+    * a tiny array scanned linearly — ≤255 symbols total keeps groups at a
+    * handful of elements, and the scan is cache-resident where a second
+    * hash probe is not.
     */
-  @transient private lazy val (pairIndex, singleIndex)
-      : (mutable.LongMap[Array[Int]], mutable.LongMap[Int]) = {
-    val pairs = mutable.LongMap.empty[mutable.ArrayBuffer[Int]]
+  private final class FirstEntry(val singleCode: Int, val seconds: Array[Int],
+                                 val candOff: Array[Int], val cands: Array[Int])
+
+  @transient private lazy val firstIndex: mutable.LongMap[FirstEntry] = {
     val singles = mutable.LongMap.empty[Int]
+    val multis = mutable.LongMap.empty[mutable.LinkedHashMap[Int, mutable.ArrayBuffer[Int]]]
     var c = 0
     while (c < syms.length) {
       val s = syms(c)
       if (s.length == 1) {
-        if (!singles.contains(s(0).toLong)) singles(s(0).toLong) = c
+        if (!singles.contains(s(0).toLong)) singles(s(0).toLong) = c // lowest code wins
       } else {
-        val key = (s(0).toLong << 32) | (s(1).toLong & 0xffffffffL)
-        pairs.getOrElseUpdate(key, mutable.ArrayBuffer.empty[Int]) += c
+        multis.getOrElseUpdate(s(0).toLong, mutable.LinkedHashMap.empty)
+          .getOrElseUpdate(s(1), mutable.ArrayBuffer.empty) += c
       }
       c += 1
     }
-    val p = mutable.LongMap.empty[Array[Int]]
-    pairs.foreach { case (k, codes) =>
-      p(k) = codes.sortBy(c => (-syms(c).length, c)).toArray
+    val out = mutable.LongMap.empty[FirstEntry]
+    (singles.keys ++ multis.keys).foreach { t0 =>
+      if (!out.contains(t0)) {
+        val single = singles.getOrElse(t0, -1)
+        multis.get(t0) match {
+          case None => out(t0) = new FirstEntry(single, null, null, null)
+          case Some(bySecond) =>
+            val seconds = bySecond.keys.toArray
+            val candOff = new Array[Int](seconds.length + 1)
+            val cands = mutable.ArrayBuffer.empty[Int]
+            var k = 0
+            while (k < seconds.length) {
+              cands ++= bySecond(seconds(k)).sortBy(cd => (-syms(cd).length, cd))
+              candOff(k + 1) = cands.length
+              k += 1
+            }
+            out(t0) = new FirstEntry(single, seconds, candOff, cands.toArray)
+        }
+      }
     }
-    (p, singles)
+    out
   }
 
   def symbol(code: Int): Array[Int] = syms(code)
@@ -65,16 +89,23 @@ final class SymTab(val syms: Array[Array[Int]]) extends Serializable {
     (f, off)
   }
 
-  /** Longest symbol matching tokens[pos until end); -1 if none. */
+  /** Longest symbol matching tokens[pos until end); -1 if none. One hash
+    * probe; multi-token candidates only when the entry has a group for the
+    * second token.
+    */
   def longestMatch(tokens: Array[Int], pos: Int, end: Int): Int = {
-    val t0 = tokens(pos)
-    if (pos + 1 < end) {
-      val key = (t0.toLong << 32) | (tokens(pos + 1).toLong & 0xffffffffL)
-      val cands = pairIndex.getOrNull(key)
-      if (cands != null) {
-        var i = 0
-        while (i < cands.length) {
-          val c = cands(i)
+    val e = firstIndex.getOrNull(tokens(pos).toLong)
+    if (e == null) return -1
+    val seconds = e.seconds
+    if (seconds != null && pos + 1 < end) {
+      val t1 = tokens(pos + 1)
+      var k = 0
+      while (k < seconds.length && seconds(k) != t1) k += 1
+      if (k < seconds.length) {
+        var i = e.candOff(k)
+        val lim = e.candOff(k + 1)
+        while (i < lim) {
+          val c = e.cands(i)
           val s = syms(c)
           val L = s.length
           if (pos + L <= end) {
@@ -86,7 +117,7 @@ final class SymTab(val syms: Array[Array[Int]]) extends Serializable {
         }
       }
     }
-    singleIndex.getOrElse(t0.toLong, -1)
+    e.singleCode
   }
 
   /** Serialized form: [version][nSymbols][per symbol: len, len zigzag tokens].
