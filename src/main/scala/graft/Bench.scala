@@ -307,6 +307,17 @@ object Bench {
       require(nDictS == nDictD && nRleS == nRleD && nBpS == nBpD && nBpCS == nBpCD,
         s"packed-domain scans disagree with decode: dict $nDictS/$nDictD rle $nRleS/$nRleD " +
           s"bp $nBpS/$nBpD bpContains $nBpCS/$nBpCD")
+      // FSST suffix (round 5): positional trailing-window matcher — the
+      // header's token count fixes the window [n-m,n), skip phase counts
+      // tokens (no DFA), compare exits on first mismatch — vs
+      // decode-then-match on the same fsst chunk table
+      val sfxPat = pat.takeRight(2)
+      val (nSfxS, tSfxS) = best(
+        Graft.scanPattern(chunks.toDF(), graft.core.PatternMode.Suffix, Seq(sfxPat)).count())
+      val (nSfxD, tSfxD) = best(
+        EncodeJob.decode(chunks).toDF()
+          .filter(Graft.endsWithTokens(col("tokens"), sfxPat)).count())
+      require(nSfxS == nSfxD, s"suffix scan disagrees with decode: $nSfxS/$nSfxD")
       dictChunks.unpersist()
       rleChunks.unpersist()
       bpChunks.unpersist()
@@ -319,7 +330,7 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sum(col("n_tok"))).collect()(0).getLong(0)
       }
 
-      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
+      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
     }
 
     spark.stop()

@@ -137,6 +137,10 @@ object PackedAnchor {
     * 8/gcd(width,8) phases occur).
     */
   private final class PhaseImages(width: Int, deltas: Array[Int]) {
+    // PatternMode.normalize strips empty parts upstream; fail loudly at
+    // construction if a future call path skips it (len=0 would AIOOBE
+    // mid-scan in build's msk(0) write otherwise).
+    require(deltas.nonEmpty, "PhaseImages requires a non-empty pattern part")
     private val imgs = new Array[Array[Byte]](8)
     private val msks = new Array[Array[Byte]](8)
 

@@ -147,37 +147,69 @@ object FsstMatch {
     false
   }
 
-  /** `%p` — run the automaton to the end; accept iff the final state is m.
-    * Same zero-state skip as contains (skipping is sound mid-stream: a
-    * skipped byte provably leaves state 0 unchanged; only the FINAL state
-    * matters here and any tail of boring bytes ends at state 0 ≠ m for
-    * m > 0, which the post-loop check handles).
+  /** `%p` — positional compare against the row's LAST m tokens (the
+    * anchored idea of F3 applied at the row end): the row header's token
+    * count n fixes the match window [n-m, n) up front, so no automaton is
+    * needed at all. The skip phase counts tokens per code byte — one
+    * length-table load, escapes skipped without zigzag decode — and the
+    * compare phase exits on the FIRST mismatching token. The previous
+    * formulation ran the contains DFA to end-of-row by construction
+    * (without the count, a suffix match is only decidable at the end);
+    * this one exits as soon as the tail window provably mismatches, and
+    * does strictly less work per byte before it.
     */
   def suffix(bytes: Array[Byte], from: Int, to: Int, pm: PatternMachine): Boolean = {
-    val dfa = pm.dfas(0)
-    val m = dfa.m
+    val st = pm.st
+    val p = pm.parts(0)
+    val m = p.length
     if (m == 0) return true
-    val cd = pm.codeDfas(0)
-    val hot = cd.hot0
     val hdr = varUIntAt(bytes, from)
-    if (hdr.toInt < m) return false
-    var p = (hdr >>> 32).toInt
-    var state = 0
-    while (p < to) {
-      if (state == 0) {
-        while (p < to && !hot(bytes(p) & 0xff)) p += 1
+    val n = hdr.toInt
+    if (n < m) return false
+    val start = n - m // token index where the window begins
+    val lens = st.lens
+    var pos = (hdr >>> 32).toInt
+    var c = 0 // tokens consumed so far
+    while (pos < to) {
+      var b = bytes(pos) & 0xff
+      val len = if (b == SymTab.EscapeCode) 1 else lens(b)
+      if (c + len > start) {
+        // window starts inside this symbol: positional compare from here
+        var j = 0            // index into p
+        var skip = start - c // window offset within the first symbol (< len)
+        while (true) {
+          pos += 1
+          if (b == SymTab.EscapeCode) {
+            val zz = varUIntAt(bytes, pos)
+            pos = (zz >>> 32).toInt
+            val u = zz.toInt
+            if (((u >>> 1) ^ -(u & 1)) != p(j)) return false
+            j += 1
+          } else {
+            val sym = st.symbol(b)
+            var t = skip
+            while (t < sym.length) {
+              if (j >= m) return false // symbols overrun the header's n
+              if (sym(t) != p(j)) return false
+              t += 1; j += 1
+            }
+          }
+          skip = 0
+          if (j == m) return pos >= to // window filled exactly at row end
+          if (pos >= to) return false  // row ended before the window filled
+          b = bytes(pos) & 0xff
+        }
+        return false // unreachable
       }
-      if (p < to) {
-        val b = bytes(p) & 0xff; p += 1
-        if (b == SymTab.EscapeCode) {
-          val zz = varUIntAt(bytes, p)
-          p = (zz >>> 32).toInt
-          val u = zz.toInt
-          state = dfa.step(state, (u >>> 1) ^ -(u & 1))
-        } else state = cd.next(state, b)
+      c += len
+      pos += 1
+      if (b == SymTab.EscapeCode) {
+        // skip the escape varint without decoding it
+        while ((bytes(pos) & 0x80) != 0) pos += 1
+        pos += 1
       }
     }
-    state == m
+    false // row ended before reaching the window (header n overstated)
   }
 
   /** `p%` — anchored positional compare, early exit on first mismatch (F3). */

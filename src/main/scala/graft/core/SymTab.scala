@@ -75,6 +75,11 @@ final class SymTab(val syms: Array[Array[Int]]) extends Serializable {
   def symbol(code: Int): Array[Int] = syms(code)
   def symLen(code: Int): Int = syms(code).length
 
+  /** code → symbol length as a flat table: one load per byte in the suffix
+    * skip loop (vs two dependent loads through syms(code).length).
+    */
+  @transient lazy val lens: Array[Int] = syms.map(_.length)
+
   /** Flattened symbol storage for the decode hot loop: symbol c's tokens at
     * flatTokens[flatOffsets(c) until flatOffsets(c+1)) — one indirection and
     * contiguous reads instead of a jagged Array[Array[Int]].

@@ -356,56 +356,48 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
     copy(children = cs)
 }
 
-/** unpack_ids(doc_ids, row_count) → array<string>: per-row doc ids from the
-  * packed binary (used by the per-document encoded view).
+/** encoded_rows(doc_ids, data, offsets, row_count) — lazy generator behind
+  * the per-document encoded view: emits one (doc_id, enc) row per encoded
+  * document STRAIGHT off the chunk's two packed slabs. The doc id is a
+  * zero-copy UTF8String view over the id slab (GenerateExec's output
+  * UnsafeProjection copies it before the next row is requested) and `enc`
+  * is the row's byte slice — the only per-row allocation. Replaces the
+  * round-4 `arrays_zip(unpack_ids, row_slices) + explode` formulation,
+  * which materialized ALL row slices plus an id array (~2× chunk memory)
+  * as intermediate GenericArrayData before exploding.
   */
-case class UnpackIds(packed: Expression, rowCount: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def left: Expression = packed
-  override def right: Expression = rowCount
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "unpack_ids"
-  override protected def nullSafeEval(p: Any, n: Any): Any = {
-    val bytes = p.asInstanceOf[Array[Byte]]
-    val rows = n.asInstanceOf[Int]
-    val r = new graft.core.ByteReader(bytes, 0, bytes.length)
-    val out = new Array[Any](rows)
-    var i = 0
-    while (i < rows) {
-      val len = r.readVarUInt()
-      out(i) = UTF8String.fromBytes(bytes, r.pos, len)
-      r.pos += len
-      i += 1
+case class EncodedRowsGenerator(docIds: Expression, data: Expression,
+    offsets: Expression, rowCount: Expression)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(docIds, data, offsets, rowCount)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("enc", BinaryType, nullable = false)))
+  override def prettyName: String = "encoded_rows"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ids = docIds.eval(input).asInstanceOf[Array[Byte]]
+    val bytes = data.eval(input).asInstanceOf[Array[Byte]]
+    val rows = rowCount.eval(input).asInstanceOf[Int]
+    if (rows == 0) return Iterator.empty
+    val offs = Offsets.unpack(offsets.eval(input).asInstanceOf[Array[Byte]], rows)
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var p = 0 // cursor into the packed id slab (varint len + bytes)
+      def hasNext: Boolean = i < rows
+      def next(): InternalRow = {
+        var len = 0; var shift = 0; var b = 0
+        do {
+          b = ids(p) & 0xff; p += 1
+          len |= (b & 0x7f) << shift; shift += 7
+        } while ((b & 0x80) != 0)
+        val id = UTF8String.fromBytes(ids, p, len)
+        p += len
+        val enc = java.util.Arrays.copyOfRange(bytes, offs(i), offs(i + 1))
+        i += 1
+        new GenericInternalRow(Array[Any](id, enc))
+      }
     }
-    new GenericArrayData(out)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(packed = l, rowCount = r)
-}
-
-/** row_slices(data, offsets, row_count) → array<binary>: per-row encoded
-  * byte slices, the cheap (no-decode) explode used by the per-document
-  * encoded view.
-  */
-case class RowSlices(data: Expression, offsets: Expression, rowCount: Expression)
-    extends TernaryExpression with CodegenFallback {
-  override def first: Expression = data
-  override def second: Expression = offsets
-  override def third: Expression = rowCount
-  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
-  override def prettyName: String = "row_slices"
-  override protected def nullSafeEval(d: Any, o: Any, n: Any): Any = {
-    val bytes = d.asInstanceOf[Array[Byte]]
-    val rowCount = n.asInstanceOf[Int]
-    val offs = Offsets.unpack(o.asInstanceOf[Array[Byte]], rowCount)
-    val out = new Array[Any](rowCount)
-    var i = 0
-    while (i < rowCount) {
-      out(i) = java.util.Arrays.copyOfRange(bytes, offs(i), offs(i + 1))
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
-  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
-    copy(data = f, offsets = s, rowCount = t)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3))
 }

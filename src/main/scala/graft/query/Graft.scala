@@ -81,13 +81,19 @@ object Graft {
         es(1).eval().asInstanceOf[Int]), "scala_udf")
     // remaining pipeline kernels, so every native expression is reachable
     // from spark.sql(...) — parameters must be foldable literals
-    def litInt(e: Expression): Int = {
-      require(e.foldable, s"parameter must be a literal: $e")
-      e.eval().asInstanceOf[Int]
-    }
     def litLong(e: Expression): Long = {
       require(e.foldable, s"parameter must be a literal: $e")
-      e.eval() match { case i: Int => i.toLong; case l: Long => l }
+      e.eval() match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"parameter must be an integer literal, got: $other ($e)")
+      }
+    }
+    def litInt(e: Expression): Int = {
+      val v = litLong(e)
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"parameter out of Int range: $v ($e)")
+      v.toInt
     }
     reg.createOrReplaceTempFunction("minhash_sig",
       es => graft.pipeline.MinHashSig(es(0), litInt(es(1)), litLong(es(2))), "scala_udf")
@@ -127,12 +133,9 @@ object Graft {
   def encodedRows(chunks: DataFrame): DataFrame = {
     chunks
       .select(col("codec"), col("symtab"), col("source"),
-        explode(arrays_zip(
-          mkCol(UnpackIds(col2expr(col("doc_ids")), col2expr(col("row_count")))).as("doc_id"),
-          mkCol(RowSlices(col2expr(col("data")), col2expr(col("offsets")), col2expr(col("row_count")))).as("enc")
-        )).as("z"))
-      .select(col("z.doc_id").as("doc_id"), col("source"),
-        col("z.enc").as("enc"), col("symtab"), col("codec"))
+        mkCol(EncodedRowsGenerator(col2expr(col("doc_ids")), col2expr(col("data")),
+          col2expr(col("offsets")), col2expr(col("row_count")))))
+      .select(col("doc_id"), col("source"), col("enc"), col("symtab"), col("codec"))
       .withColumn("tokens", decodeRow(col("enc"), col("symtab"), col("codec")))
   }
 

@@ -60,6 +60,55 @@ class MatcherSpec extends AnyFunSuite {
     })
   }
 
+  test("suffix trailing-window: escapes in and around the window (property)") {
+    // Train the symtab on the small-alphabet projection only, then encode
+    // rows that also carry tokens ≥1000 — those MUST escape-encode, so the
+    // positional suffix matcher sees escapes in the skip phase, straddling
+    // the window edge, and inside the window.
+    val genTok = Gen.frequency(8 -> Gen.choose(0, 6), 2 -> Gen.choose(1000, 1006))
+    val genRowE = Gen.choose(0, 60).flatMap(n => Gen.containerOfN[Array, Int](n, genTok))
+    val genPartE = Gen.choose(1, 9).flatMap(n => Gen.containerOfN[Array, Int](n, genTok))
+    checkProp(Prop.forAll(Gen.listOfN(20, genRowE), genPartE) { (rowsL, part) =>
+      val rows = rowsL.toIndexedSeq
+      val header = FsstTokenCodec.buildHeader(
+        rows.map(_.filter(_ < 1000)), ChunkStats.compute(rows))
+      val st = SymTab.fromBytes(header)
+      val enc = FsstTokenCodec.encoder(header)
+      val out = new ByteWriter()
+      val off = new Array[Int](rows.length + 1)
+      rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); off(i + 1) = out.size }
+      val data = out.toBytes
+      val pm = new PatternMachine(Array(part), st)
+      rows.indices.forall { i =>
+        FsstMatch.suffix(data, off(i), off(i + 1), pm) == TokenMatch.suffix(rows(i), part)
+      }
+    })
+  }
+
+  test("suffix trailing-window: deterministic window-edge cases") {
+    // Rows crafted so trained symbols straddle the window start: pattern
+    // (4,5,6) against rows ending ...1 2 3 4 5 6 — the symbol covering
+    // 1..6 begins before token index n-3.
+    val phrase = Array(1, 2, 3, 4, 5, 6)
+    val rows = IndexedSeq(
+      phrase,                           // window starts mid-phrase
+      Array(9, 9) ++ phrase,            // skip phase then mid-symbol start
+      phrase ++ Array(9),               // near-miss: window shifted off the end
+      Array(4, 5, 6),                   // n == m, equals-like
+      Array(5, 6),                      // n < m
+      Array.emptyIntArray,              // empty row
+      phrase ++ phrase                  // phrase twice; suffix decided by tail only
+    ) ++ (0 until 200).map(_ => phrase) // make the phrase a trained symbol
+    val (st, data, off) = encodeAll(rows)
+    for (p <- Seq(Array(4, 5, 6), Array(6), Array(1, 2, 3), phrase, Array(9) ++ phrase)) {
+      val pm = new PatternMachine(Array(p), st)
+      rows.indices.foreach { i =>
+        assert(FsstMatch.suffix(data, off(i), off(i + 1), pm) ==
+          TokenMatch.suffix(rows(i), p), s"pattern ${p.mkString(",")} row $i")
+      }
+    }
+  }
+
   test("multi-infix resume-at-stop_pos edge: parts sharing one symbol") {
     // Build rows where a single trained symbol spans the boundary between
     // part1's end and part2's start (MetaStateMachine.hpp:107-112 edge).

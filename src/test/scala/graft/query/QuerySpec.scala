@@ -57,6 +57,18 @@ class QuerySpec extends AnyFunSuite {
       case PatternMode.MultiInfix => Graft.multiInfixTokens(tokens, parts)
     }
 
+  test("encodedRows explodes lazily through a Generate of encoded_rows") {
+    val view = Graft.encodedRows(chunks)
+    val optimized = view.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("encoded_rows"),
+      s"expected the encoded_rows generator in the plan:\n$optimized")
+    assert(!optimized.contains("arrays_zip") && !optimized.contains("row_slices"),
+      s"the eager arrays_zip/row_slices formulation must be gone:\n$optimized")
+    // and the lazy view returns exactly the chunk contents
+    val n = view.count()
+    assert(n == input.count(), s"view rows $n != input rows")
+  }
+
   test("pushdown rule rewrites decode-then-match into compressed match") {
     val view = Graft.encodedRows(chunks)
     val q = view.filter(Graft.containsTokens(col("tokens"), Seq(vocab("value"), vocab("table"))))
@@ -211,6 +223,16 @@ class QuerySpec extends AnyFunSuite {
     assert(sqlRow.getSeq[Long](0) == apiRow.getSeq[Long](0))
     assert(sqlRow.getSeq[Long](1) == apiRow.getSeq[Long](1))
     assert(sqlRow.getSeq[Long](2) == apiRow.getSeq[Long](2))
+    // integer-literal params accept any integral type (SMALLINT seed here)
+    // and reject non-integers with a clear message
+    val smallintRow = spark.sql(
+      "SELECT minhash_sig(shingle_hashes(tokens, 3), CAST(16 AS SMALLINT), CAST(42 AS SMALLINT)) AS mh " +
+        "FROM raw_docs ORDER BY doc_id LIMIT 1").head()
+    assert(smallintRow.getSeq[Long](0) == apiRow.getSeq[Long](0))
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(shingle_hashes(tokens, 3), 16, 'x') FROM raw_docs LIMIT 1").collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
 
   test("late materialization decodes exactly the matching rows (InternalRow path)") {
