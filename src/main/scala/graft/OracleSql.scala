@@ -61,6 +61,21 @@ object OracleSql {
       |__tok AS MATERIALIZED (
       |  SELECT t.doc_id, t.i, v.id AS tok FROM __tokw t JOIN __vocab v ON v.w = t.w)""".stripMargin
 
+  /** Deterministic stratified sampling (Sampling.stratified semantics):
+    * keep iff splitmix64(doc_id) mod 100 (unsigned, = DuckDB UBIGINT %)
+    * is below the source's percentage; reports per-source kept counts.
+    */
+  def stratifiedSampleSql(highSources: Seq[String], highPct: Int,
+                          defaultPct: Int): String = {
+    val (ctes, last) = mix64Ctes("__sm", "documents", Seq("doc_id", "source"),
+      "CAST(doc_id AS UBIGINT)")
+    val inList = highSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH $ctes
+       |SELECT source, count(*) AS n_kept FROM $last
+       |WHERE z % 100 < (CASE WHEN source IN ($inList) THEN $highPct ELSE $defaultPct END)
+       |GROUP BY source""".stripMargin
+  }
+
   /** SimHash near-dup pairs (Dedup.simhashPairs semantics): unigram
     * splitmix64 → 64-bit majority signature → 4×16-bit band buckets →
     * exact Hamming ≤ maxHamming.

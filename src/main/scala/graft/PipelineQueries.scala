@@ -60,6 +60,41 @@ object PipelineQueries {
       .select(col("doc_a").cast("bigint"), col("doc_b").cast("bigint"),
         col("inter_cnt"), col("union_cnt"))
 
+  /** Near-dup CLUSTERS: the per-document canonical assignment derived from
+    * the MinHash pair list via connected components — what a real dedup
+    * pipeline keeps (one doc per cluster), not just the pairs. Exact
+    * oracle: DuckDB recursive transitive closure over the same pair set.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.minhashLshPairs(tokenDocs(spark, dir), tau = 0.7)
+          .select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("rep_id").cast("bigint").as("rep_id"))
+
+  /** Benchmark decontamination: training docs sharing any 5-gram with the
+    * (deterministic) benchmark subset doc_id % 29 == 0 — eval-overlap
+    * removal with the benchmark gram set broadcast, so the corpus side
+    * never shuffles.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokenDocs(spark, dir)
+    Dedup.benchmarkOverlap(
+        train = t.filter(col("doc_id") % 29 =!= 0),
+        bench = t.filter(col("doc_id") % 29 === 0),
+        n = 5, minShared = 1)
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("n_shared"))
+  }
+
+  /** Deterministic stratified mixture sampling: srcs 0–4 kept at 80%,
+    * the rest at 30%, decided by splitmix64(doc_id) mod 100 — exactly
+    * reproduced by the oracle's UBIGINT arithmetic.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(tokenDocs(spark, dir),
+        ratesPct = (0 to 4).map(i => s"src$i" -> 80).toMap, defaultPct = 30)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(tokenDocs(spark, dir), maxHamming = 3)
       .select(col("doc_a").cast("bigint"), col("doc_b").cast("bigint"), col("hamming"))
@@ -137,6 +172,9 @@ object PipelineQueries {
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_clusters" -> (dedupClusters _),
+    "q_decontaminate" -> (decontaminate _),
+    "q_stratified_sample" -> (stratifiedSample _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_embedding_near_dups" -> (embeddingNearDups _),
     "q_ann_brute_force" -> (annBruteForce _),
@@ -216,6 +254,52 @@ object PipelineQueries {
          |FROM g a JOIN g b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.grams, b.grams))
          |      >= 0.7 * len(list_distinct(list_concat(a.grams, b.grams)))""".stripMargin,
+    // Clusters = recursive transitive closure over the SAME pair set as
+    // q_dedup_minhash (full recall at tau=0.7 on this corpus, see above),
+    // min reachable doc_id as the canonical representative.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE w AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+         |  FROM w WHERE len(ws) >= 3
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.grams, b.grams))
+         |        >= 0.7 * len(list_distinct(list_concat(a.grams, b.grams)))
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc_id, min(dst) AS rep_id FROM reach GROUP BY src""".stripMargin,
+    // Benchmark decontamination: 5-gram overlap with the deterministic
+    // benchmark subset doc_id % 29 == 0, gram identity via word strings
+    // (the Spark side joins 64-bit shingle hashes — a collision would
+    // surface here as a row diff, not hide).
+    "q_decontaminate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(ws) - 3),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS grams
+         |  FROM w WHERE len(ws) >= 5
+         |), bg AS (
+         |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 29 = 0
+         |), tg AS (
+         |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 29 <> 0
+         |)
+         |SELECT doc_id, count(*) AS n_shared FROM tg JOIN bg USING (gram)
+         |GROUP BY doc_id HAVING count(*) >= 1""".stripMargin,
+    "q_stratified_sample" ->
+      OracleSql.stratifiedSampleSql((0 to 4).map(i => s"src$i"), 80, 30),
     // LSH-blocked near-dups: the oracle recomputes the same seed-derived
     // hyperplane buckets (OracleSql embeds the sign masks) and confirms by
     // exact cosine — checking candidate generation AND confirmation.

@@ -162,6 +162,71 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"))
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise dedup output into per-document canonical assignments (keep one
+    * doc per cluster, drop the rest): every doc appearing in a pair gets
+    * `rep_id` = the smallest doc_id reachable from it.
+    *
+    * Algorithm: min-label propagation to fixpoint. Each round is one
+    * shuffle join on (doc_id) plus a min-aggregation over slim
+    * (doc_id, rep) pairs — no payload ever rides along — and the round
+    * count is the cluster diameter, which for near-dup graphs is small by
+    * construction (members of a cluster are mutually similar, so the pair
+    * generator emits most intra-cluster edges directly). The convergence
+    * probe is `limit(1).count()` — existence, not a full count. For
+    * adversarial long-chain graphs swap in star-contraction
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC'14 —
+    * published algorithm); dedup clusters never need it.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")).cache()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // candidate labels: own label ∪ labels flowing across each edge
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("rep"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("doc_id")).agg(min(col("rep")).as("rep")).cache()
+      next.count() // materialize before dropping the parent cache
+      val changed = next.join(labels.withColumnRenamed("rep", "__old"), Seq("doc_id"))
+        .filter(col("rep") < col("__old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      iter += 1
+      done = !changed
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("rep").as("rep_id"))
+  }
+
+  /** Benchmark decontamination: training docs sharing at least `minShared`
+    * distinct n-gram shingles with any benchmark document — the standard
+    * eval-overlap removal step of a training-data pipeline. The benchmark
+    * gram set is distinct-reduced and BROADCAST (eval suites are tiny next
+    * to a training corpus), so the corpus side never shuffles: the probe is
+    * a map-side hash-join followed by a per-doc count. Gram identity is the
+    * 64-bit shingle hash on both sides — the oracle recomputes the same
+    * decision from gram STRINGS, so a hash collision would surface as a
+    * correctness diff rather than hide.
+    */
+  def benchmarkOverlap(train: DataFrame, bench: DataFrame, n: Int,
+                       minShared: Int): DataFrame = {
+    val bg = bench.filter(col("n_tok") >= n)
+      .select(explode(shingleHashes(col("tokens"), n)).as("gram")).distinct()
+    val tg = train.filter(col("n_tok") >= n)
+      .select(col("doc_id"), explode(shingleHashes(col("tokens"), n)).as("gram"))
+    // per-doc grams are already distinct (ShingleHashes dedups), so a plain
+    // count after the semi-probe counts distinct shared grams
+    tg.join(broadcast(bg), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** All-pairs exact variant — the ground truth for recall tests only; its
     * physical plan is a nested-loop join and must never ship in a query.
     */

@@ -238,9 +238,33 @@ case class SignDots(child: Expression, nCentroids: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** sample_bucket(id, m): splitmix64(id) mod m, UNSIGNED — the deterministic
+  * sampling key for stratified mixture sampling. A pure function of the row,
+  * so the keep/drop decision is reproducible under task retry and speculative
+  * execution (a rand() sample is not exactly-once there), uniform regardless
+  * of id structure, and engine-portable: unsigned remainder matches DuckDB's
+  * `UBIGINT % m`, so the oracle reproduces the decision bit-for-bit.
+  */
+case class SampleBucket(child: Expression, m: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  require(m > 0, "modulus must be positive")
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sample_bucket"
+  override protected def nullSafeEval(v: Any): Any =
+    java.lang.Long.remainderUnsigned(Hashing.mix64(v.asInstanceOf[Long]), m.toLong).toInt
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c =>
+      s"(int) java.lang.Long.remainderUnsigned(graft.pipeline.Hashing.mix64($c), ${m}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object PipelineFunctions {
   import GraftBridge.{column => mk, expression => ex}
   def shingleHashes(tokens: Column, n: Int): Column = mk(ShingleHashes(ex(tokens), n))
+  def sampleBucket(id: Column, m: Int): Column = mk(SampleBucket(ex(id), m))
   def minhashSig(shingles: Column, k: Int, seed: Long): Column = mk(MinHashSig(ex(shingles), k, seed))
   def simhash64(tokens: Column): Column = mk(SimHash64(ex(tokens)))
   def winnowFingerprint(tokens: Column, k: Int, w: Int): Column = mk(WinnowFingerprint(ex(tokens), k, w))

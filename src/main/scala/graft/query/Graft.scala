@@ -101,6 +101,8 @@ object Graft {
       es => graft.pipeline.WinnowFingerprint(es(0), litInt(es(1)), litInt(es(2))), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_buckets",
       es => graft.pipeline.LshBuckets(es(0), litInt(es(1)), litInt(es(2)), litLong(es(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("sample_bucket",
+      es => graft.pipeline.SampleBucket(es(0), litInt(es(1))), "scala_udf")
   }
 
   private def col2expr(c: Column): Expression = GraftBridge.expression(c)

@@ -49,6 +49,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(falsePos.size <= found.size / 2, s"simhash noisy: $falsePos")
   }
 
+  test("connected components: multi-hop chains collapse to min-label clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round), pair 10-11,
+    // triangle 20-21-22, and an isolated pair 30-31
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    assert(got == want, s"components wrong: $got")
+    // and on the real corpus: every pair's two docs land in one cluster
+    val ndocs = docs.withColumn("doc_id", col("doc_id").cast("bigint"))
+    val cc = Dedup.connectedComponents(Dedup.minhashLshPairs(ndocs, tau = 0.7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.foreach { case (a, b) =>
+      assert(cc(a) == cc(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("benchmark decontamination broadcasts the probe set and excludes benchmark docs") {
+    val bench = docs.filter(col("doc_id") % 29 === 0)
+    val train = docs.filter(col("doc_id") % 29 =!= 0)
+    val hits = Dedup.benchmarkOverlap(train, bench, n = 5, minShared = 1)
+    val plan = hits.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"probe set must broadcast, plan:\n$plan")
+    val ids = hits.select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ % 29 != 0))
+    // a doc sharing a 5-gram with a benchmark doc must be flagged: every
+    // near-dup pair with one side in the benchmark set implies the other
+    // side shares plenty of grams
+    truth.foreach { case (a, b) =>
+      if (a % 29 == 0 && b % 29 != 0) assert(ids.contains(b), s"missed contaminated $b")
+      if (b % 29 == 0 && a % 29 != 0) assert(ids.contains(a), s"missed contaminated $a")
+    }
+  }
+
+  test("stratified sampling: deterministic, rate-monotone subsets, codegen'd filter") {
+    val ndocs = docs.withColumn("doc_id", col("doc_id").cast("bigint"))
+    val hi = Sampling.stratified(ndocs, Map("src0" -> 80), defaultPct = 30)
+    val lo = Sampling.stratified(ndocs, Map("src0" -> 30), defaultPct = 10)
+    def ids(df: DataFrame) = df.select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val hiIds = ids(hi)
+    assert(ids(hi) == hiIds, "sample must be deterministic across runs")
+    assert(ids(lo).subsetOf(hiIds), "lower rates must yield a subset (bucket < p is monotone)")
+    // the decision matches the Scala-side hash exactly (codegen path == eval path)
+    val kept = docs.select(col("doc_id").cast("long"), col("source"))
+      .collect().filter { r =>
+        val b = java.lang.Long.remainderUnsigned(Hashing.mix64(r.getLong(0)), 100L)
+        b < (if (r.getString(1) == "src0") 80 else 30)
+      }.map(_.getLong(0)).toSet
+    assert(hiIds == kept, "sample_bucket disagrees with reference hash")
+  }
+
   test("ANN LSH and IVF recall vs brute force") {
     val bf = Similarity.bruteForceTopK(emb, 0L, 10).select("vec_id")
       .collect().map(_.getLong(0)).toSet

@@ -223,6 +223,12 @@ class QuerySpec extends AnyFunSuite {
     assert(sqlRow.getSeq[Long](0) == apiRow.getSeq[Long](0))
     assert(sqlRow.getSeq[Long](1) == apiRow.getSeq[Long](1))
     assert(sqlRow.getSeq[Long](2) == apiRow.getSeq[Long](2))
+    // sample_bucket from SQL equals the column API
+    val sb = spark.sql(
+      "SELECT sample_bucket(CAST(doc_id AS BIGINT), 100) AS b FROM raw_docs ORDER BY doc_id LIMIT 1").head()
+    val sbApi = spark.table("raw_docs").orderBy("doc_id")
+      .select(PipelineFunctions.sampleBucket(col("doc_id").cast("bigint"), 100).as("b")).head()
+    assert(sb.getInt(0) == sbApi.getInt(0))
     // integer-literal params accept any integral type (SMALLINT seed here)
     // and reject non-integers with a clear message
     val smallintRow = spark.sql(
