@@ -201,7 +201,7 @@ object Similarity {
       .take(nprobe).map(_._2)
     val qDf = broadcast(assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb")))
-    assigned.filter(col("__cell").isin(cells.map(Integer.valueOf): _*) &&
+    assigned.filter(col("__cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*) &&
         col("vec_id") =!= queryId)
       .crossJoin(qDf)
       .withColumn("cos", cosine(col("embedding"), col("q_emb")))
