@@ -182,8 +182,15 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
+    // localCheckpoint (not cache) per round: each iteration's plan embeds
+    // the previous one, so WITHOUT lineage truncation the logical plan
+    // doubles per round — exponential analyzer/stringification cost that
+    // hangs the driver near ~15 rounds (caught by the random-graph
+    // union-find property test on chain graphs). Checkpointing pins the
+    // round's labels as a fresh scan, keeping every round's plan
+    // constant-size — the same reason GraphX/Pregel truncates lineage.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id")).cache()
+      .withColumn("rep", col("doc_id")).localCheckpoint()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -191,11 +198,12 @@ object Dedup {
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("rep"))
       val next = labels.unionByName(prop)
-        .groupBy(col("doc_id")).agg(min(col("rep")).as("rep")).cache()
-      next.count() // materialize before dropping the parent cache
+        .groupBy(col("doc_id")).agg(min(col("rep")).as("rep")).localCheckpoint()
+      // convergence probe as a 1-row aggregate over the two pinned label
+      // sets (existence of an improved label, not a count)
       val changed = next.join(labels.withColumnRenamed("rep", "__old"), Seq("doc_id"))
-        .filter(col("rep") < col("__old")).limit(1).count() > 0
-      labels.unpersist()
+        .agg(coalesce(max(when(col("rep") < col("__old"), 1).otherwise(0)), lit(0)).as("c"))
+        .head().getInt(0) == 1
       labels = next
       iter += 1
       done = !changed

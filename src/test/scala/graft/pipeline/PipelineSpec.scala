@@ -71,6 +71,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components equal a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nV = 30 + rnd.nextInt(40)
+      val edges = (0 until rnd.nextInt(60) + 5).map { _ =>
+        val a = rnd.nextInt(nV); val b = (a + 1 + rnd.nextInt(nV - 1)) % nV
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.distinct
+      // union-find oracle; attaching the larger root under the smaller
+      // makes every final root the component minimum
+      val parent = Array.tabulate(nV)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: $got != $want")
+    }
+  }
+
   test("benchmark decontamination broadcasts the probe set and excludes benchmark docs") {
     val bench = docs.filter(col("doc_id") % 29 === 0)
     val train = docs.filter(col("doc_id") % 29 =!= 0)
