@@ -151,6 +151,14 @@ object PipelineQueries {
     docs(spark, dir).select(TextAnalysis.langId(col("text")).as("pred"))
       .groupBy(col("pred")).agg(count(lit(1)).as("n"))
 
+  /** Gopher-style within-doc repetition signal: duplicate-3-gram ratio per
+    * document, flag at 5% — one scan pass, no shuffle.
+    */
+  def repetitionScores(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionScores(tokenDocs(spark, dir))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("total_grams"), col("distinct_grams"), col("dup_ratio"), col("repetitive"))
+
   def fingerprintPairs(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprintPairs(tokenDocs(spark, dir))
       .select(col("doc_a").cast("bigint"), col("doc_b").cast("bigint"), col("shared"))
@@ -182,6 +190,7 @@ object PipelineQueries {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_indexed" -> (annIvfIndexed _),
     "q_quality_scores" -> (qualityScores _),
+    "q_repetition_scores" -> (repetitionScores _),
     "q_token_counts" -> (tokenCounts _),
     "q_lang_id" -> (langIdPred _),
     "q_fingerprint_pairs" -> (fingerprintPairs _),
@@ -328,6 +337,19 @@ object PipelineQueries {
          |  (len($wordsSql) >= 10 AND len($wordsSql) <= 5000
          |   AND len(list_filter($wordsSql, w -> w IN ('the', 'a'))) * 2 <= len($wordsSql)) AS quality_ok
          |FROM documents""".stripMargin,
+    "q_repetition_scores" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS ws FROM documents
+         |), g AS (
+         |  SELECT doc_id, len(ws) - 2 AS total_grams,
+         |    len(list_distinct(list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS distinct_grams
+         |  FROM w WHERE len(ws) >= 3
+         |)
+         |SELECT doc_id, total_grams, distinct_grams,
+         |  1 - CAST(distinct_grams AS DOUBLE) / total_grams AS dup_ratio,
+         |  (1 - CAST(distinct_grams AS DOUBLE) / total_grams) > 0.05 AS repetitive
+         |FROM g""".stripMargin,
     "q_token_counts" ->
       s"""SELECT doc_id, len($wordsSql) AS ws_tokens,
          |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpeish_tokens

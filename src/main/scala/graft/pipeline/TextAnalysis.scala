@@ -68,6 +68,23 @@ object TextAnalysis {
         lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("bigint").as("bpeish_tokens"))
   }
 
+  /** Within-document repetition scoring (the Gopher-style duplicate-n-gram
+    * quality signal): total vs distinct n-gram counts per doc over the
+    * TOKEN column, plus a repetitive flag at `maxDupRatio`. Pure column
+    * expressions on the scan — distinct grams come from the same
+    * ShingleHashes kernel the dedup suite uses, total is arithmetic on
+    * n_tok — so the filter costs one pass, no shuffle, at any corpus size.
+    */
+  def repetitionScores(docs: DataFrame, n: Int = 3,
+                       maxDupRatio: Double = 0.05): DataFrame =
+    docs.filter(col("n_tok") >= n)
+      .select(col("doc_id"),
+        (col("n_tok") - (n - 1)).cast("bigint").as("total_grams"),
+        size(shingleHashes(col("tokens"), n)).cast("bigint").as("distinct_grams"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("distinct_grams").cast("double") / col("total_grams"))
+      .withColumn("repetitive", col("dup_ratio") > maxDupRatio)
+
   /** Winnowing fingerprints (rolling-hash document signatures): docs sharing
     * many fingerprint values are near-duplicates / containment candidates.
     */

@@ -207,6 +207,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped.contains((107L, 387L)), "cap dropped a true near-dup")
   }
 
+  test("repetition scores count duplicate n-grams exactly") {
+    import spark.implicits._
+    val d = Seq(
+      ("1", Array.fill(30)(7), 30, "s"),  // one gram repeated 28×
+      ("2", (1 to 30).toArray, 30, "s"),  // all grams distinct
+      ("3", Array(1, 2), 2, "s")          // shorter than n: filtered out
+    ).toDF("doc_id", "tokens", "n_tok", "source")
+    val got = TextAnalysis.repetitionScores(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got("1") == ((28L, 1L, true)), s"repeated doc: ${got("1")}")
+    assert(got("2") == ((28L, 28L, false)), s"distinct doc: ${got("2")}")
+    assert(!got.contains("3"))
+  }
+
   test("langId returns a language for every doc and handles empty text") {
     import spark.implicits._
     val preds = Seq("the cat and the hat", "el que la de y", "", "zz yy xx")
