@@ -104,6 +104,34 @@ object PlanAudit {
         println(s"$name: InternalRow plan OK (no object serializers)")
       }
     }
+    println("=== [8] round-5 pipeline ops: broadcast probe, lazy view generator, scan-only sampling ===")
+    locally {
+      // decontamination: the benchmark gram set must broadcast — the corpus
+      // side of the probe never shuffles
+      val bench = tokenDocs.filter(col("doc_id") % 29 === 0)
+      val train = tokenDocs.filter(col("doc_id") % 29 =!= 0)
+      val dec = graft.pipeline.Dedup.benchmarkOverlap(train, bench, n = 5, minShared = 1)
+      val decPlan = dec.queryExecution.executedPlan.toString
+      require(decPlan.contains("BroadcastHashJoin") || decPlan.contains("BroadcastExchange"),
+        "decontamination probe set must broadcast")
+      require(!Seq("BroadcastNestedLoopJoin", "CartesianProduct").exists(decPlan.contains),
+        "decontamination must not plan a nested loop")
+      println("q_decontaminate: benchmark grams broadcast; corpus side shuffle-free to the count")
+      // stratified sampling: a scan-level filter, no shuffle anywhere —
+      // audited over the raw parquet scan (tokenDocs carries the
+      // tokenization join's Exchange in its lineage, which is not the
+      // sampler's plan)
+      val samp = graft.pipeline.Sampling.stratified(
+        spark.read.parquet(s"$sf/documents.parquet"), Map("src0" -> 80), 30)
+      val sampPlan = samp.queryExecution.executedPlan.toString
+      require(!sampPlan.contains("Exchange"), "sampling must not shuffle")
+      println("q_stratified_sample: pure scan-level filter (no Exchange in plan)")
+      // the per-doc encoded view: lazy generator, no eager array building
+      val viewPlan = Graft.encodedRows(chunks).queryExecution.optimizedPlan.toString
+      require(viewPlan.contains("encoded_rows") && !viewPlan.contains("arrays_zip"),
+        "encodedRows must explode via the lazy generator")
+      println("encodedRows: lazy encoded_rows Generate (no arrays_zip materialization)")
+    }
     spark.stop()
   }
 
