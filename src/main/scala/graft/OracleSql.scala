@@ -251,6 +251,15 @@ object OracleSql {
     * tie-break, 'und' when no profile matches. Profiles are read from
     * TextAnalysis.LangProfiles so the two sides cannot drift.
     */
+  /** Vocabulary heavy hitters (TextAnalysis.vocabTopK semantics): exact
+    * token counts over the reproduced tokenization (same sorted-distinct
+    * vocab ids), deterministic (count desc, token asc) tiebreak.
+    */
+  def vocabTopKSql(k: Int): String =
+    s"""WITH $tokenizeCtes
+       |SELECT CAST(tok AS BIGINT) AS tok, count(*) AS n
+       |FROM __tok GROUP BY tok ORDER BY n DESC, tok LIMIT $k""".stripMargin
+
   def langIdSql(): String = {
     val profiles = graft.pipeline.TextAnalysis.LangProfiles.toSeq.sortBy(_._1)
     val scoreCols = profiles.map { case (lang, words) =>

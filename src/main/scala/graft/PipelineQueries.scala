@@ -159,6 +159,25 @@ object PipelineQueries {
       .select(col("doc_id").cast("bigint").as("doc_id"),
         col("total_grams"), col("distinct_grams"), col("dup_ratio"), col("repetitive"))
 
+  /** Concat-and-chunk sequence packing into 1024-token training sequences:
+    * per-(source, seq_id) manifest rows. The two-level distributed prefix
+    * sum (Packing.pack) is exactly the single window cumsum the oracle
+    * runs, by associativity.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    Packing.packSummary(tokenDocs(spark, dir), seqLen = 1024, bucketWidth = 64)
+      .select(col("source"), col("seq_id"), col("n_docs"), col("toks_in"),
+        col("first_doc"), col("last_doc"))
+
+  /** Exact corpus-vocabulary heavy hitters (top 100 tokens). */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabTopK(tokenDocs(spark, dir), k = 100)
+      .select(col("tok").cast("bigint").as("tok"), col("n"))
+
+  /** Exact per-source length percentiles via the histogram inverse CDF. */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthPercentiles(tokenDocs(spark, dir), ks = Seq(50, 90, 99))
+
   def fingerprintPairs(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprintPairs(tokenDocs(spark, dir))
       .select(col("doc_a").cast("bigint"), col("doc_b").cast("bigint"), col("shared"))
@@ -191,6 +210,9 @@ object PipelineQueries {
     "q_ann_ivf_indexed" -> (annIvfIndexed _),
     "q_quality_scores" -> (qualityScores _),
     "q_repetition_scores" -> (repetitionScores _),
+    "q_pack_sequences" -> (packSequences _),
+    "q_vocab_topk" -> (vocabTopK _),
+    "q_length_percentiles" -> (lengthPercentiles _),
     "q_token_counts" -> (tokenCounts _),
     "q_lang_id" -> (langIdPred _),
     "q_fingerprint_pairs" -> (fingerprintPairs _),
@@ -198,8 +220,44 @@ object PipelineQueries {
   )
 
   private val wordsSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private val ntokSql = s"len(list_filter($wordsSql, x -> x <> ''))"
 
   val oracles: Map[String, String] = Map(
+    // Concat-and-chunk packing: the oracle runs the NAIVE single-window
+    // prefix sum; the Spark side's two-level distributed scan must agree
+    // exactly (associativity of +) or this row goes red.
+    "q_pack_sequences" ->
+      s"""WITH w AS (
+         |  SELECT source, doc_id, CAST($ntokSql AS BIGINT) AS n_tok FROM documents
+         |), o AS (
+         |  SELECT source, doc_id, n_tok,
+         |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM w
+         |)
+         |SELECT source, CAST(off // 1024 AS BIGINT) AS seq_id, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS toks_in,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM o GROUP BY 1, 2""".stripMargin,
+    "q_vocab_topk" -> OracleSql.vocabTopKSql(k = 100),
+    // Inverse-CDF percentiles over the length histogram; ceil(t·k/100) as
+    // (t*k + 99) // 100 keeps both engines in integer arithmetic.
+    "q_length_percentiles" ->
+      s"""WITH w AS (
+         |  SELECT source, CAST($ntokSql AS BIGINT) AS n_tok FROM documents
+         |), h AS (
+         |  SELECT source, n_tok, count(*) AS c FROM w GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT source, n_tok,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
+         |    SUM(c) OVER (PARTITION BY source) AS tot
+         |  FROM h
+         |)
+         |SELECT source,
+         |  CAST(min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN n_tok END) AS BIGINT) AS p50,
+         |  CAST(min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN n_tok END) AS BIGINT) AS p90,
+         |  CAST(min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN n_tok END) AS BIGINT) AS p99
+         |FROM cum GROUP BY source""".stripMargin,
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups FROM documents GROUP BY text",
     "q_ngram_jaccard" ->

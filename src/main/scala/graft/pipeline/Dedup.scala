@@ -179,8 +179,13 @@ object Dedup {
     * published algorithm); dedup clusters never need it.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Pin the pair list FIRST: the symmetric union below references it twice,
+    // so without this the (potentially expensive) upstream plan — e.g. the
+    // whole MinHash/LSH candidate pipeline — executes twice inside the first
+    // materialization job.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     // localCheckpoint (not cache) per round: each iteration's plan embeds
     // the previous one, so WITHOUT lineage truncation the logical plan
@@ -189,9 +194,15 @@ object Dedup {
     // union-find property test on chain graphs). Checkpointing pins the
     // round's labels as a fresh scan, keeping every round's plan
     // constant-size — the same reason GraphX/Pregel truncates lineage.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id")).localCheckpoint()
-    var iter = 0
+    //
+    // Seed = round 1 fused: edges are symmetric, so every node appears as
+    // dst at least once and min(dst, min over incoming src) IS the result
+    // of one propagation round from identity labels — one groupBy instead
+    // of a distinct-nodes job followed by a join round.
+    var labels = edges.groupBy(col("dst")).agg(min(col("src")).as("__m"))
+      .select(col("dst").as("doc_id"), least(col("__m"), col("dst")).as("rep"))
+      .localCheckpoint()
+    var iter = 1
     var done = false
     while (!done && iter < maxIter) {
       // candidate labels: own label ∪ labels flowing across each edge

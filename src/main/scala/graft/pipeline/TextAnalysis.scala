@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: language-ID
@@ -84,6 +85,48 @@ object TextAnalysis {
       .withColumn("dup_ratio",
         lit(1.0) - col("distinct_grams").cast("double") / col("total_grams"))
       .withColumn("repetitive", col("dup_ratio") > maxDupRatio)
+
+  /** Exact vocabulary heavy hitters: the k most frequent tokens in the
+    * corpus with a deterministic (count desc, token asc) tiebreak — the
+    * stopword/boilerplate census every tokenizer audit starts from.
+    *
+    * Scale shape: explode → hash-aggregate benefits from map-side partial
+    * aggregation (each task pre-counts its tokens before the shuffle, so
+    * shuffle bytes scale with |vocab| per task, not token volume), and the
+    * ordered limit compiles to TakeOrderedAndProject — per-partition top-k
+    * heaps + a k-row driver merge, never a global sort.
+    */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(col("tokens")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(k)
+
+  /** Exact per-source document-length percentiles via the inverse CDF over
+    * a compacted length histogram: groupBy(source, n_tok) first (map-side
+    * combinable; output is bounded by the length DOMAIN, not the corpus),
+    * then cumulative counts over the tiny histogram and
+    * pN = min{ n_tok : cum ≥ ceil(total·N/100) }. All-integer arithmetic —
+    * ceil(t·k/100) is computed as (t·k + 99) div 100, so a SQL oracle
+    * reproduces it bit-exactly with no floating-point boundary risk.
+    * This is how exact quantiles stay cheap at 10^12 docs: the only
+    * full-volume pass is the combinable count.
+    */
+  def lengthPercentiles(docs: DataFrame, ks: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 100))
+    val hist = docs.groupBy(col("source"), col("n_tok"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("n_tok"))
+    val wTot = Window.partitionBy(col("source"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__tot", sum(col("__c")).over(wTot))
+    val aggs = ks.map { k =>
+      min(when(col("__cum") >= expr(s"(__tot * $k + 99) div 100"), col("n_tok")))
+        .cast("bigint").as(s"p$k")
+    }
+    cum.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Winnowing fingerprints (rolling-hash document signatures): docs sharing
     * many fingerprint values are near-duplicates / containment candidates.

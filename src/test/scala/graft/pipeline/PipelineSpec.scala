@@ -244,4 +244,58 @@ class PipelineSpec extends AnyFunSuite {
     val resized = Multimodal.resizePlan(Multimodal.extractFeatures(media), 64)
     assert(resized.filter(col("out_w") > 64 || col("out_h") > 64).count() == 0)
   }
+
+  test("sequence packing: two-level prefix sum equals a sequential scan on skewed random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // skewed: one source carries ~70% of the docs, sparse non-dense ids
+    val rows = (0 until 400).map { i =>
+      val src = if (rnd.nextInt(10) < 7) "big" else s"s${rnd.nextInt(3)}"
+      (src, i.toLong * (1 + rnd.nextInt(3)), 1L + rnd.nextInt(50))
+    }.groupBy(_._2).map(_._2.head).toSeq // unique doc_ids
+    val df = rows.toDF("source", "doc_id", "n_tok")
+    val seqLen = 64
+    val got = Packing.pack(df, seqLen, bucketWidth = 16)
+      .select("source", "doc_id", "offset", "seq_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // sequential oracle per source in doc_id order
+    rows.groupBy(_._1).foreach { case (src, ds) =>
+      var off = 0L
+      ds.sortBy(_._2).foreach { case (_, id, n) =>
+        assert(got((src, id)) == (off, off / seqLen),
+          s"doc ($src,$id): got ${got((src, id))}, want ($off, ${off / seqLen})")
+        off += n
+      }
+    }
+    // manifest invariant: per-source toks_in sums to the source's token total
+    val sums = Packing.packSummary(df, seqLen, bucketWidth = 16)
+      .groupBy("source").agg(sum("toks_in").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(sums == want)
+  }
+
+  test("vocab top-k: exact counts, deterministic tiebreak, bounded size") {
+    val k = 10
+    val got = TextAnalysis.vocabTopK(docs, k)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // oracle: full count in Scala from the same token arrays
+    val counts = docs.select(explode(col("tokens")).as("t")).groupBy("t").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val want = counts.sortBy { case (t, n) => (-n, t) }.take(k)
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq}, want ${want.toSeq}")
+  }
+
+  test("length percentiles: inverse CDF matches a sort-based oracle per source") {
+    val got = TextAnalysis.lengthPercentiles(docs, Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val lens = docs.select(col("source"), col("n_tok")).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def pct(v: IndexedSeq[Long], k: Int): Long = v(((v.length * k + 99) / 100 - 1).max(0))
+    lens.foreach { case (src, v) =>
+      val want = (pct(v.toIndexedSeq, 50), pct(v.toIndexedSeq, 90), pct(v.toIndexedSeq, 99))
+      assert(got(src) == want, s"$src: got ${got(src)}, want $want")
+    }
+  }
 }
