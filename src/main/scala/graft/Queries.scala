@@ -115,6 +115,19 @@ object Queries {
       .filter(!Graft.containsTokens(col("tokens"), pat(spark, dir, "value", "table")))
       .select(col("doc_id").cast("bigint").as("doc_id"))
 
+  /** Value-range predicate on the AUTO-codec chunk table: docs containing
+    * any token in [id("dup"), id("fast")], evaluated per codec in its own
+    * compressed domain with zone-map (min/max token) chunk pruning — the
+    * range analog of the LIKE family. Vocabulary ids are sorted word ranks,
+    * so the token range is exactly the lexicographic word range and the
+    * oracle can stay in the string domain.
+    */
+  def rangeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val v = vocab(spark, dir)
+    Graft.scanRange(autoChunks(spark, dir), v("dup"), v("fast"))
+      .select(col("doc_id").cast("bigint").as("doc_id"))
+  }
+
   /** Aggregation over the DECODED table (exercises decode correctness at
     * aggregate granularity).
     */
@@ -183,6 +196,10 @@ object Queries {
          |   AND position(' scan ' IN substr($padded, position(' table ' IN $padded) + 6)) > 0""".stripMargin,
     "q_not_contains_tokens" ->
       s"SELECT doc_id FROM documents WHERE $padded NOT LIKE '% value table %'",
+    "q_range_tokens" ->
+      s"""SELECT doc_id FROM documents
+         | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |           w -> w >= 'dup' AND w <= 'fast')) > 0""".stripMargin,
     "q_token_count_by_source" ->
       s"""SELECT source, count(*) AS n_docs,
          | CAST(sum($ntokSql) AS BIGINT) AS sum_tokens
@@ -203,6 +220,7 @@ object Queries {
     "q_suffix_tokens" -> (suffixTokens _),
     "q_multi_infix_tokens" -> (multiInfixTokens _),
     "q_not_contains_tokens" -> (notContainsTokens _),
+    "q_range_tokens" -> (rangeTokens _),
     "q_token_count_by_source" -> (tokenCountBySource _),
     "q_codec_stats" -> (codecStats _),
     "q_codec_totals" -> (codecTotals _)

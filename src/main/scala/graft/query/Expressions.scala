@@ -201,6 +201,182 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
     copy(enc = f, header = s, codecName = t)
 }
 
+/** Token-domain range predicate on a decoded/raw array<int> column:
+  * any_token_in_range(tokens, lo, hi). The logical marker the pushdown rule
+  * rewrites into [[CompressedRangeMatch]]; also the decode-then-test
+  * fallback path.
+  */
+case class TokenRangeMatch(child: Expression, lo: Int, hi: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "any_token_in_range"
+
+  def matches(arr: ArrayData): Boolean =
+    RangeMatch.evalDecoded(arr.toIntArray(), lo, hi)
+
+  override protected def nullSafeEval(v: Any): Any =
+    matches(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("tokenRangeMatch", this, classOf[TokenRangeMatch].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.matches($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Range predicate evaluated directly on compressed row bytes, per codec —
+  * see [[graft.core.RangeMatch]] for the kernel inventory. Per-header
+  * artifacts (fsst code table, dict index interval) are cached so per-row
+  * eval pays one table load per code byte / one packed compare per value.
+  */
+case class CompressedRangeMatch(enc: Expression, header: Expression, codecName: Expression,
+                                lo: Int, hi: Int)
+    extends TernaryExpression {
+  @transient private lazy val fsstTables =
+    new HeaderCache[Array[Boolean]](h => RangeMatch.fsstCodeTable(EvalCaches.symtab(h), lo, hi))
+  // (iLo, iHi, packed width) of the dict's qualifying index interval
+  @transient private lazy val dictRanges =
+    new HeaderCache[(Int, Int, Int)]({ h =>
+      val dict = EvalCaches.dict(h)
+      val (iLo, iHi) = RangeMatch.dictIndexRange(dict, lo, hi)
+      (iLo, iHi, BitPack.bitsFor(math.max(dict.length - 1, 0)))
+    })
+  override def first: Expression = enc
+  override def second: Expression = header
+  override def third: Expression = codecName
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "compressed_range_match"
+
+  def matches(bytes: Array[Byte], headerBytes: Array[Byte], codecU: UTF8String): Boolean = {
+    val codec = codecU.toString
+    codec match {
+      case FsstTokenCodec.name =>
+        RangeMatch.evalFsst(fsstTables.get(headerBytes), bytes, 0, bytes.length, lo, hi)
+      case DictCodec.name =>
+        val (iLo, iHi, width) = dictRanges.get(headerBytes)
+        iLo <= iHi && RangeMatch.evalDict(bytes, 0, bytes.length, width, iLo, iHi)
+      case RleCodec.name => RangeMatch.evalRle(bytes, 0, bytes.length, lo, hi)
+      case BitPackCodec.name =>
+        RangeMatch.evalBitpack(bytes, 0, bytes.length, headerBytes(0) & 0xff, lo, hi)
+      case ForCodec.name =>
+        RangeMatch.evalFor(bytes, 0, bytes.length, headerBytes(0) & 0xff, lo, hi)
+      case RawCodec.name => RangeMatch.evalRaw(bytes, 0, bytes.length, lo, hi)
+      case other =>
+        RangeMatch.evalDecoded(
+          EvalCaches.decoder(other, headerBytes).decode(bytes, 0, bytes.length), lo, hi)
+    }
+  }
+
+  override protected def nullSafeEval(e: Any, h: Any, c: Any): Any =
+    matches(e.asInstanceOf[Array[Byte]], h.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("compressedRangeMatch", this, classOf[CompressedRangeMatch].getName)
+    nullSafeCodeGen(ctx, ev, (e, h, c) => s"${ev.value} = $ref.matches($e, $h, $c);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(enc = f, header = s, codecName = t)
+}
+
+/** Chunk-granularity range scan: zone-map gate on the chunk's min/max token
+  * (the token analog of parquet min/max pruning — a disjoint chunk is
+  * skipped without touching `data`), then the per-codec compressed-domain
+  * kernels over all rows, returning matching doc_ids.
+  */
+case class ChunkRangeDocIds(children: Seq[Expression], lo: Int, hi: Int)
+    extends Expression {
+  // children: doc_ids, data, offsets, row_count, symtab, codec, min_tok, max_tok
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "chunk_range"
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("chunkRange", this, classOf[ChunkRangeDocIds].getName)
+    val evals = children.map(_.genCode(ctx))
+    val anyNull = evals.map(_.isNull).mkString(" || ")
+    val args = Seq(
+      s"(byte[]) ${evals(0).value}", s"(byte[]) ${evals(1).value}",
+      s"(byte[]) ${evals(2).value}", s"(int) ${evals(3).value}",
+      s"(byte[]) ${evals(4).value}", s"(org.apache.spark.unsafe.types.UTF8String) ${evals(5).value}",
+      s"(int) ${evals(6).value}", s"(int) ${evals(7).value}").mkString(", ")
+    val code =
+      code"""
+        ${evals.map(_.code).mkString("\n")}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if ($anyNull) {
+          ${ev.value} = $ref.emptyResult();
+        } else {
+          ${ev.value} = $ref.matchChunk($args);
+        }
+      """
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  def emptyResult(): org.apache.spark.sql.catalyst.util.ArrayData =
+    new GenericArrayData(Array.empty[Any])
+
+  override def eval(input: InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.contains(null)) emptyResult()
+    else matchChunk(vals(0).asInstanceOf[Array[Byte]], vals(1).asInstanceOf[Array[Byte]],
+      vals(2).asInstanceOf[Array[Byte]], vals(3).asInstanceOf[Int],
+      vals(4).asInstanceOf[Array[Byte]], vals(5).asInstanceOf[UTF8String],
+      vals(6).asInstanceOf[Int], vals(7).asInstanceOf[Int])
+  }
+
+  def matchChunk(packedIds: Array[Byte], data: Array[Byte], offBytes: Array[Byte],
+                 rowCount: Int, header: Array[Byte], codecU: UTF8String,
+                 minTok: Int, maxTok: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (!RangeMatch.chunkOverlaps(minTok, maxTok, lo, hi))
+      return new GenericArrayData(Array.empty[Any]) // zone-map prune
+    val codec = codecU.toString
+    val offs = Offsets.unpack(offBytes, rowCount)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val idCursor = new graft.core.ByteReader(packedIds, 0, packedIds.length)
+    @inline def nextId(matched: Boolean): Unit = {
+      val len = idCursor.readVarUInt()
+      if (matched) out += UTF8String.fromBytes(packedIds, idCursor.pos, len)
+      idCursor.pos += len
+    }
+    val rowEval: (Int, Int) => Boolean = codec match {
+      case FsstTokenCodec.name =>
+        val table = RangeMatch.fsstCodeTable(EvalCaches.symtab(header), lo, hi)
+        (f, t) => RangeMatch.evalFsst(table, data, f, t, lo, hi)
+      case DictCodec.name =>
+        val dict = EvalCaches.dict(header)
+        val (iLo, iHi) = RangeMatch.dictIndexRange(dict, lo, hi)
+        if (iLo > iHi) return new GenericArrayData(Array.empty[Any]) // exact gate
+        val width = BitPack.bitsFor(math.max(dict.length - 1, 0))
+        (f, t) => RangeMatch.evalDict(data, f, t, width, iLo, iHi)
+      case RleCodec.name => (f, t) => RangeMatch.evalRle(data, f, t, lo, hi)
+      case BitPackCodec.name =>
+        val width = header(0) & 0xff
+        (f, t) => RangeMatch.evalBitpack(data, f, t, width, lo, hi)
+      case ForCodec.name =>
+        val width = header(0) & 0xff
+        (f, t) => RangeMatch.evalFor(data, f, t, width, lo, hi)
+      case RawCodec.name => (f, t) => RangeMatch.evalRaw(data, f, t, lo, hi)
+      case other =>
+        val dec = EvalCaches.decoder(other, header)
+        (f, t) => RangeMatch.evalDecoded(dec.decode(data, f, t), lo, hi)
+    }
+    var i = 0
+    while (i < rowCount) {
+      nextId(rowEval(offs(i), offs(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(children = cs)
+}
+
 /** Chunk-granularity matcher: evaluates the pattern over ALL rows of a chunk
   * in one call and returns the matching doc_ids. DFA build is amortized over
   * the whole chunk and the row loop never materializes decoded rows (FSST) —

@@ -20,6 +20,8 @@ object PushPatternIntoCompressed extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case TokenPatternMatch(DecodeRow(enc, header, codec), mode, parts) =>
       CompressedPatternMatch(enc, header, codec, mode, parts)
+    case TokenRangeMatch(DecodeRow(enc, header, codec), lo, hi) =>
+      CompressedRangeMatch(enc, header, codec, lo, hi)
   }
 }
 
@@ -61,26 +63,6 @@ object Graft {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
         .map(_.asInstanceOf[ArrayData].toIntArray().toSeq).toSeq
     }
-    def patternFn(name: String, mode: String): Unit =
-      reg.createOrReplaceTempFunction(name,
-        es => TokenPatternMatch(es.head, mode, Seq(litInts(es(1)))), "scala_udf")
-    patternFn("contains_tokens", graft.core.PatternMode.Contains)
-    patternFn("starts_with_tokens", graft.core.PatternMode.Prefix)
-    patternFn("ends_with_tokens", graft.core.PatternMode.Suffix)
-    patternFn("equals_tokens", graft.core.PatternMode.Equals)
-    reg.createOrReplaceTempFunction("multi_infix_tokens",
-      es => TokenPatternMatch(es.head, graft.core.PatternMode.MultiInfix, litIntss(es(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("decode_row",
-      es => DecodeRow(es(0), es(1), es(2)), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      es => graft.pipeline.CosineSim(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      es => graft.pipeline.SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("shingle_hashes",
-      es => graft.pipeline.ShingleHashes(es(0),
-        es(1).eval().asInstanceOf[Int]), "scala_udf")
-    // remaining pipeline kernels, so every native expression is reachable
-    // from spark.sql(...) — parameters must be foldable literals
     def litLong(e: Expression): Long = {
       require(e.foldable, s"parameter must be a literal: $e")
       e.eval() match {
@@ -95,6 +77,28 @@ object Graft {
         s"parameter out of Int range: $v ($e)")
       v.toInt
     }
+    def patternFn(name: String, mode: String): Unit =
+      reg.createOrReplaceTempFunction(name,
+        es => TokenPatternMatch(es.head, mode, Seq(litInts(es(1)))), "scala_udf")
+    patternFn("contains_tokens", graft.core.PatternMode.Contains)
+    patternFn("starts_with_tokens", graft.core.PatternMode.Prefix)
+    patternFn("ends_with_tokens", graft.core.PatternMode.Suffix)
+    patternFn("equals_tokens", graft.core.PatternMode.Equals)
+    reg.createOrReplaceTempFunction("multi_infix_tokens",
+      es => TokenPatternMatch(es.head, graft.core.PatternMode.MultiInfix, litIntss(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("any_token_in_range",
+      es => TokenRangeMatch(es.head, litInt(es(1)), litInt(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("decode_row",
+      es => DecodeRow(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => graft.pipeline.CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => graft.pipeline.SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => graft.pipeline.ShingleHashes(es(0),
+        es(1).eval().asInstanceOf[Int]), "scala_udf")
+    // remaining pipeline kernels, so every native expression is reachable
+    // from spark.sql(...) — parameters must be foldable literals
     reg.createOrReplaceTempFunction("minhash_sig",
       es => graft.pipeline.MinHashSig(es(0), litInt(es(1)), litLong(es(2))), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
@@ -123,6 +127,8 @@ object Graft {
     mkCol(TokenPatternMatch(col2expr(tokens), graft.core.PatternMode.Equals, Seq(pattern)))
   def multiInfixTokens(tokens: Column, parts: Seq[Seq[Int]]): Column =
     mkCol(TokenPatternMatch(col2expr(tokens), graft.core.PatternMode.MultiInfix, parts))
+  def anyTokenInRange(tokens: Column, lo: Int, hi: Int): Column =
+    mkCol(TokenRangeMatch(col2expr(tokens), lo, hi))
 
   // --- views over the chunk table -------------------------------------------
 
@@ -153,6 +159,20 @@ object Graft {
       mode, parts)
     chunks
       .select(explode(mkCol(matchExpr)).as("doc_id"))
+  }
+
+  /** Chunk-granularity range scan (any token in [lo,hi]) with zone-map
+    * pruning on the chunk's min/max token stats — the range analog of
+    * [[scanPattern]].
+    */
+  def scanRange(chunks: DataFrame, lo: Int, hi: Int): DataFrame = {
+    val rangeExpr = ChunkRangeDocIds(
+      Seq(col2expr(col("doc_ids")), col2expr(col("data")), col2expr(col("offsets")),
+        col2expr(col("row_count")), col2expr(col("symtab")), col2expr(col("codec")),
+        col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok"))),
+      lo, hi)
+    chunks
+      .select(explode(mkCol(rangeExpr)).as("doc_id"))
   }
 
   /** Late materialization (the reference's decode-only-matches behavior,

@@ -190,6 +190,46 @@ class QuerySpec extends AnyFunSuite {
     assert(want.except(got).isEmpty && got.except(want).isEmpty)
   }
 
+  test("range predicate: per-codec compressed-domain eval, pushdown rewrite, zone-map prune") {
+    val ids = vocab.values.toSeq.sorted
+    // mid-vocab span, single point, disjoint-above (zone-map prune → empty),
+    // and a full-cover span
+    val ranges = Seq((ids(2), ids(5)), (ids(7), ids(7)),
+      (ids.last + 1, ids.last + 1000), (ids.head, ids.last))
+    for (codec <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val ch = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 4, maxRowsPerChunk = 64, forceCodec = Some(codec))).toDF()
+      for ((lo, hi) <- ranges) {
+        val want = input.toDF()
+          .filter(Graft.anyTokenInRange(col("tokens"), lo, hi)).select("doc_id")
+        val gotScan = Graft.scanRange(ch, lo, hi)
+        assert(want.except(gotScan).isEmpty && gotScan.except(want).isEmpty,
+          s"$codec [$lo,$hi]: chunk range scan differs from raw oracle")
+        val gotView = Graft.encodedRows(ch)
+          .filter(Graft.anyTokenInRange(col("tokens"), lo, hi)).select("doc_id")
+        assert(want.except(gotView).isEmpty && gotView.except(want).isEmpty,
+          s"$codec [$lo,$hi]: pushed-view range result differs from raw oracle")
+      }
+    }
+    // disjoint range returns nothing (and proves the gate path is exercised)
+    assert(Graft.scanRange(chunks, ids.last + 1, ids.last + 1000).count() == 0)
+    // the optimizer rewrites the view predicate into the compressed domain
+    val q = Graft.encodedRows(chunks)
+      .filter(Graft.anyTokenInRange(col("tokens"), ids(2), ids(5))).select("doc_id")
+    val optimized = q.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("compressed_range_match"),
+      s"expected compressed_range_match in optimized plan:\n$optimized")
+    assert(!optimized.contains("decode_row"),
+      s"decode_row should have been eliminated:\n$optimized")
+    // SQL surface
+    input.toDF().createOrReplaceTempView("__rng_raw")
+    val sqlGot = spark.sql(
+      s"SELECT doc_id FROM __rng_raw WHERE any_token_in_range(tokens, ${ids(2)}, ${ids(5)})")
+    val want = input.toDF()
+      .filter(Graft.anyTokenInRange(col("tokens"), ids(2), ids(5))).select("doc_id")
+    assert(want.except(sqlGot).isEmpty && sqlGot.except(want).isEmpty)
+  }
+
   test("SQL surface: pattern functions + pushdown through spark.sql") {
     val view = Graft.encodedRows(chunks)
     view.createOrReplaceTempView("encoded_docs")

@@ -211,6 +211,35 @@ object Soak {
       }
     }, 2000)
 
+    // range predicate: every codec's compressed-domain kernel vs the
+    // decoded-domain oracle, over adversarial bounds (negatives, inverted,
+    // out-of-domain, point ranges)
+    val genBound: Gen[Int] = Gen.oneOf(
+      Gen.chooseNum(Int.MinValue, Int.MaxValue), Gen.choose(-10, 60))
+    for (codec <- Codecs.all) {
+      check(s"range-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks), genBound, genBound) { (rowsL, a, b) =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val (lo, hi) = (math.min(a, b), math.max(a, b))
+            val header = codec.buildHeader(rows, stats)
+            val enc = codec.encoder(header)
+            val out = new ByteWriter()
+            val offs = new Array[Int](rows.length + 1)
+            rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+            val data = out.toBytes
+            rows.indices.forall { i =>
+              RangeMatch.evalRow(codec.name, header, data, offs(i), offs(i + 1), lo, hi) ==
+                RangeMatch.evalDecoded(rows(i), lo, hi)
+            }
+          }
+        }, 2000)
+    }
+
     println("SOAK OK")
   }
 }
