@@ -318,6 +318,15 @@ object Bench {
         EncodeJob.decode(chunks).toDF()
           .filter(Graft.endsWithTokens(col("tokens"), sfxPat)).count())
       require(nSfxS == nSfxD, s"suffix scan disagrees with decode: $nSfxS/$nSfxD")
+      // token-range scan (round 5): per-codec compressed-domain range
+      // kernels + zone-map (min/max token) chunk pruning on the AUTO-codec
+      // product table, vs decode-then-test on the same chunks
+      val (rLo, rHi) = (pat.min, pat.min + 3)
+      val (nRngS, tRngS) = best(Graft.scanRange(autoChunks, rLo, rHi).count())
+      val (nRngD, tRngD) = best(
+        EncodeJob.decodeDf(autoChunks)
+          .filter(Graft.anyTokenInRange(col("tokens"), rLo, rHi)).count())
+      require(nRngS == nRngD, s"range scan disagrees with decode: $nRngS/$nRngD")
       dictChunks.unpersist()
       rleChunks.unpersist()
       bpChunks.unpersist()
@@ -330,7 +339,7 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sum(col("n_tok"))).collect()(0).getLong(0)
       }
 
-      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
+      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
     }
 
     spark.stop()

@@ -128,6 +128,16 @@ object Queries {
       .select(col("doc_id").cast("bigint").as("doc_id"))
   }
 
+  /** Set-membership predicate (the blocklist filter): docs containing any
+    * of {"dup","spark","vector"}, evaluated per codec in the compressed
+    * domain with zone-map + bloom chunk gating.
+    */
+  def blocklistTokens(spark: SparkSession, dir: String): DataFrame = {
+    val v = vocab(spark, dir)
+    Graft.scanSet(autoChunks(spark, dir), Seq(v("dup"), v("spark"), v("vector")))
+      .select(col("doc_id").cast("bigint").as("doc_id"))
+  }
+
   /** Aggregation over the DECODED table (exercises decode correctness at
     * aggregate granularity).
     */
@@ -200,6 +210,10 @@ object Queries {
       s"""SELECT doc_id FROM documents
          | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |           w -> w >= 'dup' AND w <= 'fast')) > 0""".stripMargin,
+    "q_blocklist_tokens" ->
+      s"""SELECT doc_id FROM documents
+         | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |           w -> w IN ('dup', 'spark', 'vector'))) > 0""".stripMargin,
     "q_token_count_by_source" ->
       s"""SELECT source, count(*) AS n_docs,
          | CAST(sum($ntokSql) AS BIGINT) AS sum_tokens
@@ -221,6 +235,7 @@ object Queries {
     "q_multi_infix_tokens" -> (multiInfixTokens _),
     "q_not_contains_tokens" -> (notContainsTokens _),
     "q_range_tokens" -> (rangeTokens _),
+    "q_blocklist_tokens" -> (blocklistTokens _),
     "q_token_count_by_source" -> (tokenCountBySource _),
     "q_codec_stats" -> (codecStats _),
     "q_codec_totals" -> (codecTotals _)

@@ -377,6 +377,188 @@ case class ChunkRangeDocIds(children: Seq[Expression], lo: Int, hi: Int)
     copy(children = cs)
 }
 
+/** Token-domain set-membership predicate (any_token_in_set) on a decoded/raw
+  * array<int> column — the blocklist/allowlist filter; logical marker for
+  * the pushdown rewrite into [[CompressedSetMatch]].
+  */
+case class TokenSetMatch(child: Expression, tokens: Seq[Int])
+    extends UnaryExpression {
+  private val sorted: Array[Int] = SetMatch.sortedSet(tokens.toArray)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "any_token_in_set"
+
+  def matches(arr: ArrayData): Boolean =
+    SetMatch.evalDecoded(arr.toIntArray(), sorted)
+
+  override protected def nullSafeEval(v: Any): Any =
+    matches(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("tokenSetMatch", this, classOf[TokenSetMatch].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.matches($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Set-membership predicate on compressed row bytes — see
+  * [[graft.core.SetMatch]] for the per-codec kernels. Header artifacts
+  * (fsst code table, dict index table) cached per chunk header.
+  */
+case class CompressedSetMatch(enc: Expression, header: Expression, codecName: Expression,
+                              tokens: Seq[Int])
+    extends TernaryExpression {
+  private val sorted: Array[Int] = SetMatch.sortedSet(tokens.toArray)
+  @transient private lazy val fsstTables =
+    new HeaderCache[Array[Boolean]](h => SetMatch.fsstCodeTable(EvalCaches.symtab(h), sorted))
+  @transient private lazy val dictTables =
+    new HeaderCache[Option[(Array[Boolean], Int)]]({ h =>
+      val dict = EvalCaches.dict(h)
+      SetMatch.dictIndexTable(dict, sorted)
+        .map(t => (t, BitPack.bitsFor(math.max(dict.length - 1, 0))))
+    })
+  override def first: Expression = enc
+  override def second: Expression = header
+  override def third: Expression = codecName
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "compressed_set_match"
+
+  def matches(bytes: Array[Byte], headerBytes: Array[Byte], codecU: UTF8String): Boolean = {
+    val codec = codecU.toString
+    codec match {
+      case FsstTokenCodec.name =>
+        SetMatch.evalFsst(fsstTables.get(headerBytes), sorted, bytes, 0, bytes.length)
+      case DictCodec.name =>
+        dictTables.get(headerBytes) match {
+          case None => false
+          case Some((t, width)) => SetMatch.evalDict(bytes, 0, bytes.length, width, t)
+        }
+      case RleCodec.name => SetMatch.evalRle(bytes, 0, bytes.length, sorted)
+      case BitPackCodec.name =>
+        SetMatch.evalBitpack(bytes, 0, bytes.length, headerBytes(0) & 0xff, sorted)
+      case ForCodec.name =>
+        SetMatch.evalFor(bytes, 0, bytes.length, headerBytes(0) & 0xff, sorted)
+      case RawCodec.name => SetMatch.evalRaw(bytes, 0, bytes.length, sorted)
+      case other =>
+        SetMatch.evalDecoded(
+          EvalCaches.decoder(other, headerBytes).decode(bytes, 0, bytes.length), sorted)
+    }
+  }
+
+  override protected def nullSafeEval(e: Any, h: Any, c: Any): Any =
+    matches(e.asInstanceOf[Array[Byte]], h.asInstanceOf[Array[Byte]], c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("compressedSetMatch", this, classOf[CompressedSetMatch].getName)
+    nullSafeCodeGen(ctx, ev, (e, h, c) => s"${ev.value} = $ref.matches($e, $h, $c);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(enc = f, header = s, codecName = t)
+}
+
+/** Chunk-granularity set scan with BOTH gates: zone map (set disjoint from
+  * the chunk's [min,max] token) and the token bloom (no set element
+  * may-present) — the ANY-semantics dual of the pattern scan's
+  * ALL-tokens-required gate — then the per-codec kernels over all rows.
+  */
+case class ChunkSetDocIds(children: Seq[Expression], tokens: Seq[Int])
+    extends Expression {
+  // children: doc_ids, data, offsets, row_count, symtab, codec, min_tok, max_tok, bloom
+  private val sorted: Array[Int] = SetMatch.sortedSet(tokens.toArray)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "chunk_set"
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("chunkSet", this, classOf[ChunkSetDocIds].getName)
+    val evals = children.map(_.genCode(ctx))
+    val anyNull = evals.map(_.isNull).mkString(" || ")
+    val args = Seq(
+      s"(byte[]) ${evals(0).value}", s"(byte[]) ${evals(1).value}",
+      s"(byte[]) ${evals(2).value}", s"(int) ${evals(3).value}",
+      s"(byte[]) ${evals(4).value}", s"(org.apache.spark.unsafe.types.UTF8String) ${evals(5).value}",
+      s"(int) ${evals(6).value}", s"(int) ${evals(7).value}",
+      s"(byte[]) ${evals(8).value}").mkString(", ")
+    val code =
+      code"""
+        ${evals.map(_.code).mkString("\n")}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if ($anyNull) {
+          ${ev.value} = $ref.emptyResult();
+        } else {
+          ${ev.value} = $ref.matchChunk($args);
+        }
+      """
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  def emptyResult(): org.apache.spark.sql.catalyst.util.ArrayData =
+    new GenericArrayData(Array.empty[Any])
+
+  override def eval(input: InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.contains(null)) emptyResult()
+    else matchChunk(vals(0).asInstanceOf[Array[Byte]], vals(1).asInstanceOf[Array[Byte]],
+      vals(2).asInstanceOf[Array[Byte]], vals(3).asInstanceOf[Int],
+      vals(4).asInstanceOf[Array[Byte]], vals(5).asInstanceOf[UTF8String],
+      vals(6).asInstanceOf[Int], vals(7).asInstanceOf[Int],
+      vals(8).asInstanceOf[Array[Byte]])
+  }
+
+  def matchChunk(packedIds: Array[Byte], data: Array[Byte], offBytes: Array[Byte],
+                 rowCount: Int, header: Array[Byte], codecU: UTF8String,
+                 minTok: Int, maxTok: Int, bloom: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (!SetMatch.chunkOverlaps(sorted, minTok, maxTok) ||
+        !SetMatch.chunkMayContainAny(bloom, sorted))
+      return new GenericArrayData(Array.empty[Any])
+    val codec = codecU.toString
+    val offs = Offsets.unpack(offBytes, rowCount)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val idCursor = new graft.core.ByteReader(packedIds, 0, packedIds.length)
+    @inline def nextId(matched: Boolean): Unit = {
+      val len = idCursor.readVarUInt()
+      if (matched) out += UTF8String.fromBytes(packedIds, idCursor.pos, len)
+      idCursor.pos += len
+    }
+    val rowEval: (Int, Int) => Boolean = codec match {
+      case FsstTokenCodec.name =>
+        val table = SetMatch.fsstCodeTable(EvalCaches.symtab(header), sorted)
+        (f, t) => SetMatch.evalFsst(table, sorted, data, f, t)
+      case DictCodec.name =>
+        SetMatch.dictIndexTable(EvalCaches.dict(header), sorted) match {
+          case None => return new GenericArrayData(Array.empty[Any]) // exact gate
+          case Some(table) =>
+            val width = BitPack.bitsFor(math.max(EvalCaches.dict(header).length - 1, 0))
+            (f, t) => SetMatch.evalDict(data, f, t, width, table)
+        }
+      case RleCodec.name => (f, t) => SetMatch.evalRle(data, f, t, sorted)
+      case BitPackCodec.name =>
+        val width = header(0) & 0xff
+        (f, t) => SetMatch.evalBitpack(data, f, t, width, sorted)
+      case ForCodec.name =>
+        val width = header(0) & 0xff
+        (f, t) => SetMatch.evalFor(data, f, t, width, sorted)
+      case RawCodec.name => (f, t) => SetMatch.evalRaw(data, f, t, sorted)
+      case other =>
+        val dec = EvalCaches.decoder(other, header)
+        (f, t) => SetMatch.evalDecoded(dec.decode(data, f, t), sorted)
+    }
+    var i = 0
+    while (i < rowCount) {
+      nextId(rowEval(offs(i), offs(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(children = cs)
+}
+
 /** Chunk-granularity matcher: evaluates the pattern over ALL rows of a chunk
   * in one call and returns the matching doc_ids. DFA build is amortized over
   * the whole chunk and the row loop never materializes decoded rows (FSST) —

@@ -22,6 +22,8 @@ object PushPatternIntoCompressed extends Rule[LogicalPlan] {
       CompressedPatternMatch(enc, header, codec, mode, parts)
     case TokenRangeMatch(DecodeRow(enc, header, codec), lo, hi) =>
       CompressedRangeMatch(enc, header, codec, lo, hi)
+    case TokenSetMatch(DecodeRow(enc, header, codec), tokens) =>
+      CompressedSetMatch(enc, header, codec, tokens)
   }
 }
 
@@ -88,6 +90,8 @@ object Graft {
       es => TokenPatternMatch(es.head, graft.core.PatternMode.MultiInfix, litIntss(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("any_token_in_range",
       es => TokenRangeMatch(es.head, litInt(es(1)), litInt(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("any_token_in_set",
+      es => TokenSetMatch(es.head, litInts(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("decode_row",
       es => DecodeRow(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
@@ -129,6 +133,8 @@ object Graft {
     mkCol(TokenPatternMatch(col2expr(tokens), graft.core.PatternMode.MultiInfix, parts))
   def anyTokenInRange(tokens: Column, lo: Int, hi: Int): Column =
     mkCol(TokenRangeMatch(col2expr(tokens), lo, hi))
+  def anyTokenInSet(tokens: Column, set: Seq[Int]): Column =
+    mkCol(TokenSetMatch(col2expr(tokens), set))
 
   // --- views over the chunk table -------------------------------------------
 
@@ -173,6 +179,20 @@ object Graft {
       lo, hi)
     chunks
       .select(explode(mkCol(rangeExpr)).as("doc_id"))
+  }
+
+  /** Chunk-granularity set-membership scan (any token ∈ set) with zone-map
+    * AND bloom gating — the blocklist filter as a chunk scan.
+    */
+  def scanSet(chunks: DataFrame, set: Seq[Int]): DataFrame = {
+    val setExpr = ChunkSetDocIds(
+      Seq(col2expr(col("doc_ids")), col2expr(col("data")), col2expr(col("offsets")),
+        col2expr(col("row_count")), col2expr(col("symtab")), col2expr(col("codec")),
+        col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok")),
+        col2expr(col("stats.symbol_bitmap"))),
+      set)
+    chunks
+      .select(explode(mkCol(setExpr)).as("doc_id"))
   }
 
   /** Late materialization (the reference's decode-only-matches behavior,

@@ -230,6 +230,41 @@ class QuerySpec extends AnyFunSuite {
     assert(want.except(sqlGot).isEmpty && sqlGot.except(want).isEmpty)
   }
 
+  test("set predicate: per-codec compressed-domain eval, pushdown rewrite, bloom + zone-map gates") {
+    val ids = vocab.values.toSeq.sorted
+    // scattered mid-vocab set, singleton, fully out-of-vocab (both gates →
+    // empty), and a mixed in/out set
+    val sets = Seq(Seq(ids(1), ids(6), ids(11)), Seq(ids(4)),
+      Seq(ids.last + 5, ids.last + 9), Seq(ids(0), ids.last + 7))
+    for (codec <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val ch = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 4, maxRowsPerChunk = 64, forceCodec = Some(codec))).toDF()
+      for (set <- sets) {
+        val want = input.toDF()
+          .filter(Graft.anyTokenInSet(col("tokens"), set)).select("doc_id")
+        val gotScan = Graft.scanSet(ch, set)
+        assert(want.except(gotScan).isEmpty && gotScan.except(want).isEmpty,
+          s"$codec $set: chunk set scan differs from raw oracle")
+        val gotView = Graft.encodedRows(ch)
+          .filter(Graft.anyTokenInSet(col("tokens"), set)).select("doc_id")
+        assert(want.except(gotView).isEmpty && gotView.except(want).isEmpty,
+          s"$codec $set: pushed-view set result differs from raw oracle")
+      }
+    }
+    // optimizer rewrite + SQL surface
+    val q = Graft.encodedRows(chunks)
+      .filter(Graft.anyTokenInSet(col("tokens"), Seq(ids(1), ids(6)))).select("doc_id")
+    val optimized = q.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("compressed_set_match") && !optimized.contains("decode_row"),
+      s"expected compressed_set_match without decode_row:\n$optimized")
+    input.toDF().createOrReplaceTempView("__set_raw")
+    val sqlGot = spark.sql(
+      s"SELECT doc_id FROM __set_raw WHERE any_token_in_set(tokens, array(${ids(1)}, ${ids(6)}))")
+    val want = input.toDF()
+      .filter(Graft.anyTokenInSet(col("tokens"), Seq(ids(1), ids(6)))).select("doc_id")
+    assert(want.except(sqlGot).isEmpty && sqlGot.except(want).isEmpty)
+  }
+
   test("SQL surface: pattern functions + pushdown through spark.sql") {
     val view = Graft.encodedRows(chunks)
     view.createOrReplaceTempView("encoded_docs")

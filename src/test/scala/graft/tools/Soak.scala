@@ -240,6 +240,36 @@ object Soak {
         }, 2000)
     }
 
+    // set-membership predicate: per-codec compressed-domain kernels vs the
+    // decoded oracle (adversarial sets: empty, duplicates, out-of-domain)
+    val genSet: Gen[Array[Int]] = Gen.oneOf(
+      Gen.const(Array.emptyIntArray),
+      Gen.listOf(Gen.choose(-10, 60)).map(_.toArray),
+      Gen.listOf(Gen.chooseNum(Int.MinValue, Int.MaxValue)).map(_.toArray))
+    for (codec <- Codecs.all) {
+      check(s"set-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks), genSet) { (rowsL, setRaw) =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val sorted = SetMatch.sortedSet(setRaw)
+            val header = codec.buildHeader(rows, stats)
+            val enc = codec.encoder(header)
+            val out = new ByteWriter()
+            val offs = new Array[Int](rows.length + 1)
+            rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+            val data = out.toBytes
+            rows.indices.forall { i =>
+              SetMatch.evalRow(codec.name, header, data, offs(i), offs(i + 1), sorted) ==
+                SetMatch.evalDecoded(rows(i), sorted)
+            }
+          }
+        }, 2000)
+    }
+
     println("SOAK OK")
   }
 }
