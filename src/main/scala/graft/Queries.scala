@@ -138,6 +138,15 @@ object Queries {
       .select(col("doc_id").cast("bigint").as("doc_id"))
   }
 
+  /** Document-length filter on the ENCODED view: size(tokens) rewrites to
+    * the varUInt row-prefix read (row_token_count) — the standard length
+    * gate of a training pipeline, decode-free on compressed data.
+    */
+  def lengthFilter(spark: SparkSession, dir: String): DataFrame =
+    Graft.encodedRows(fsstChunks(spark, dir))
+      .filter(size(col("tokens")).between(60, 80))
+      .select(col("doc_id").cast("bigint").as("doc_id"))
+
   /** Aggregation over the DECODED table (exercises decode correctness at
     * aggregate granularity).
     */
@@ -214,6 +223,10 @@ object Queries {
       s"""SELECT doc_id FROM documents
          | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |           w -> w IN ('dup', 'spark', 'vector'))) > 0""".stripMargin,
+    "q_length_filter" ->
+      s"""SELECT doc_id FROM documents
+         | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |           x -> x <> '')) BETWEEN 60 AND 80""".stripMargin,
     "q_token_count_by_source" ->
       s"""SELECT source, count(*) AS n_docs,
          | CAST(sum($ntokSql) AS BIGINT) AS sum_tokens
@@ -236,6 +249,7 @@ object Queries {
     "q_not_contains_tokens" -> (notContainsTokens _),
     "q_range_tokens" -> (rangeTokens _),
     "q_blocklist_tokens" -> (blocklistTokens _),
+    "q_length_filter" -> (lengthFilter _),
     "q_token_count_by_source" -> (tokenCountBySource _),
     "q_codec_stats" -> (codecStats _),
     "q_codec_totals" -> (codecTotals _)

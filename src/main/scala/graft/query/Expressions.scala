@@ -377,6 +377,42 @@ case class ChunkRangeDocIds(children: Seq[Expression], lo: Int, hi: Int)
     copy(children = cs)
 }
 
+/** Token count of an ENCODED row, read from the uniform varUInt(n) row
+  * prefix every codec writes — O(prefix bytes) per row, no decode. The
+  * pushdown rule rewrites `size(decode_row(enc,…))` into this, so length
+  * filters and length projections on the encoded view never touch a
+  * decoder (document-length filtering is a standard training-pipeline
+  * gate).
+  */
+case class RowTokenCount(enc: Expression) extends UnaryExpression {
+  override def child: Expression = enc
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "row_token_count"
+
+  def count(bytes: Array[Byte]): Int = {
+    var pos = 0
+    var n = 0
+    var shift = 0
+    var b = 0
+    do {
+      b = bytes(pos) & 0xff; pos += 1
+      n |= (b & 0x7f) << shift; shift += 7
+    } while ((b & 0x80) != 0)
+    n
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    count(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("rowTokenCount", this, classOf[RowTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.count($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(enc = c)
+}
+
 /** Token-domain set-membership predicate (any_token_in_set) on a decoded/raw
   * array<int> column — the blocklist/allowlist filter; logical marker for
   * the pushdown rewrite into [[CompressedSetMatch]].

@@ -24,6 +24,10 @@ object PushPatternIntoCompressed extends Rule[LogicalPlan] {
       CompressedRangeMatch(enc, header, codec, lo, hi)
     case TokenSetMatch(DecodeRow(enc, header, codec), tokens) =>
       CompressedSetMatch(enc, header, codec, tokens)
+    // length pushdown: every codec writes a varUInt(n) row prefix, so
+    // size(tokens) on the encoded view reads the prefix instead of decoding
+    case org.apache.spark.sql.catalyst.expressions.Size(DecodeRow(enc, _, _), _) =>
+      RowTokenCount(enc)
   }
 }
 

@@ -265,6 +265,32 @@ class QuerySpec extends AnyFunSuite {
     assert(want.except(sqlGot).isEmpty && sqlGot.except(want).isEmpty)
   }
 
+  test("length pushdown: size(tokens) on the encoded view reads the row prefix, no decode") {
+    // correctness vs the raw table, across codecs (the prefix is uniform)
+    for (codec <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val ch = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 4, maxRowsPerChunk = 64, forceCodec = Some(codec))).toDF()
+      val want = input.toDF().filter(size(col("tokens")).between(10, 40)).select("doc_id")
+      val got = Graft.encodedRows(ch)
+        .filter(size(col("tokens")).between(10, 40)).select("doc_id")
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codec: length filter on the view differs from raw oracle")
+    }
+    // the rewrite fires: row_token_count in the plan, decode_row gone
+    val q = Graft.encodedRows(chunks)
+      .filter(size(col("tokens")) >= 10).select("doc_id")
+    val optimized = q.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("row_token_count"),
+      s"expected row_token_count in optimized plan:\n$optimized")
+    assert(!optimized.contains("decode_row"),
+      s"decode_row should have been eliminated:\n$optimized")
+    // and projecting the length works too (not just filtering)
+    val lens = Graft.encodedRows(chunks)
+      .select(col("doc_id"), size(col("tokens")).as("n"))
+    val wantLens = input.toDF().select(col("doc_id"), size(col("tokens")).as("n"))
+    assert(wantLens.except(lens).isEmpty && lens.except(wantLens).isEmpty)
+  }
+
   test("SQL surface: pattern functions + pushdown through spark.sql") {
     val view = Graft.encodedRows(chunks)
     view.createOrReplaceTempView("encoded_docs")
