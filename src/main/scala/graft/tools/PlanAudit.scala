@@ -132,6 +132,33 @@ object PlanAudit {
         "encodedRows must explode via the lazy generator")
       println("encodedRows: lazy encoded_rows Generate (no arrays_zip materialization)")
     }
+
+    println("=== [9] round-5 predicate algebra: range / set / length push into the compressed domain ===")
+    locally {
+      val view = Graft.encodedRows(chunks)
+      val ids = vocab.values.toSeq.sorted
+      val rng = view.filter(Graft.anyTokenInRange(col("tokens"), ids(2), ids(5)))
+        .select("doc_id").queryExecution.optimizedPlan.toString
+      require(rng.contains("compressed_range_match") && !rng.contains("decode_row"),
+        "range filter must rewrite to compressed_range_match without decode_row")
+      println("range: compressed_range_match, decode_row eliminated")
+      val set = view.filter(Graft.anyTokenInSet(col("tokens"), Seq(ids(1), ids(6))))
+        .select("doc_id").queryExecution.optimizedPlan.toString
+      require(set.contains("compressed_set_match") && !set.contains("decode_row"),
+        "set filter must rewrite to compressed_set_match without decode_row")
+      println("set: compressed_set_match, decode_row eliminated")
+      val len = view.filter(size(col("tokens")) >= 10)
+        .select("doc_id").queryExecution.optimizedPlan.toString
+      require(len.contains("row_token_count") && !len.contains("decode_row"),
+        "length filter must rewrite to the varint prefix read")
+      println("length: size(tokens) -> row_token_count (varint prefix, no decode)")
+      // chunk scans stay shuffle-free to the doc_id explode
+      val rs = Graft.scanRange(chunks, ids(2), ids(5)).queryExecution.executedPlan.toString
+      require(!rs.contains("Exchange"), "chunk range scan must not shuffle")
+      val ss = Graft.scanSet(chunks, Seq(ids(1), ids(6))).queryExecution.executedPlan.toString
+      require(!ss.contains("Exchange"), "chunk set scan must not shuffle")
+      println("chunk range/set scans: no Exchange (scan -> match -> explode)")
+    }
     spark.stop()
   }
 
