@@ -64,7 +64,14 @@ object Bench {
     (sec, toks, bytes)
   }
 
+  /** 1-minute system load average (OS-reported, includes our own JVM once
+    * work starts — the START reading is the neighbor-contention signal).
+    */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // 2M rows: the fixed per-run overhead (~0.65 s of job setup + stage
     // barriers + parquet listing, measured by solving t = W/p + c from quiet
@@ -327,6 +334,17 @@ object Bench {
         EncodeJob.decodeDf(autoChunks)
           .filter(Graft.anyTokenInRange(col("tokens"), rLo, rHi)).count())
       require(nRngS == nRngD, s"range scan disagrees with decode: $nRngS/$nRngD")
+      // compressed-domain GROUP BY token (round 5): per-chunk CountMatch
+      // histograms (FSST code counting + symbol expansion, RLE run-sums,
+      // dict index counts, packed-value counts) merged under partial
+      // aggregation, vs full decode + explode + groupBy on the same table.
+      // count() = distinct tokens — equality is the cross-assert.
+      val (nHistC, tHistC) = best(Graft.tokenHistogram(autoChunks).count())
+      val (nHistD, tHistD) = best(
+        EncodeJob.decodeDf(autoChunks)
+          .select(org.apache.spark.sql.functions.explode(col("tokens")).as("tok"))
+          .groupBy("tok").count().count())
+      require(nHistC == nHistD, s"compressed histogram disagrees with decode: $nHistC/$nHistD")
       dictChunks.unpersist()
       rleChunks.unpersist()
       bpChunks.unpersist()
@@ -339,7 +357,7 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sum(col("n_tok"))).collect()(0).getLong(0)
       }
 
-      f""""pattern_bench":{"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
+      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
     }
 
     spark.stop()
@@ -360,10 +378,25 @@ object Bench {
     val eff2to8Best = bestRoundEff(8, 2)
     val bytesPerToken = bytes.toDouble / toks
 
+    // Host-cleanliness metadata (round-4 verdict §6): the estimator SPREAD
+    // per pair (|median round ratio − min-based|) is the machine-detectable
+    // contamination signal — on clean windows the estimators agree within
+    // ~0.01–0.02; divergence means host contention moved a level. The
+    // thresholds mirror the adaptive-extension triggers above. Load average
+    // at bench START reflects neighbors (our own JVM is idle then); the END
+    // reading is dominated by our own local[32] work and is recorded only
+    // for completeness.
+    val loadEnd = loadAvg()
+    val spread2to8 = math.abs(medianRoundEff(8, 2) - t2 / (4 * t8))
+    val spread8to32 = math.abs(medianRoundEff(32, 8) - t8 / (4 * t32))
+    val window = if (spread2to8 <= 0.02 && spread8to32 <= 0.04) "clean" else "contended"
+    val hostJson =
+      f""""host":{"n_cpus":${Runtime.getRuntime.availableProcessors()},"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"est_spread_2_to_8":$spread2to8%.3f,"est_spread_8_to_32":$spread8to32%.3f,"window":"$window"}"""
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode_bench":{"rows":$benchRows,"tokens":$toks,"bytes":$bytes,"bytes_per_token":$bytesPerToken%.4f,"sec_local32":$t32%.3f,"sec_local8":$t8%.3f,"sec_local2":$t2%.3f,"tokens_per_sec_local32":${thr(t32).toLong},"tokens_per_sec_local8":${thr(t8).toLong},"tokens_per_sec_local2":${thr(t2).toLong},"scaling_efficiency_8_to_32":$eff8to32%.3f,"scaling_efficiency_2_to_8":$eff2to8%.3f,"scaling_efficiency_8_to_32_best_round":$eff8to32Best%.3f,"scaling_efficiency_2_to_8_best_round":$eff2to8Best%.3f,"scaling_efficiency_2_to_8_min_based":${"%.3f".format(t2 / (4 * t8))},"scaling_efficiency_8_to_32_min_based":${"%.3f".format(t8 / (4 * t32))}},$patternBench}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode_bench":{"rows":$benchRows,"tokens":$toks,"bytes":$bytes,"bytes_per_token":$bytesPerToken%.4f,"sec_local32":$t32%.3f,"sec_local8":$t8%.3f,"sec_local2":$t2%.3f,"tokens_per_sec_local32":${thr(t32).toLong},"tokens_per_sec_local8":${thr(t8).toLong},"tokens_per_sec_local2":${thr(t2).toLong},"scaling_efficiency_8_to_32":$eff8to32%.3f,"scaling_efficiency_2_to_8":$eff2to8%.3f,"scaling_efficiency_8_to_32_best_round":$eff8to32Best%.3f,"scaling_efficiency_2_to_8_best_round":$eff2to8Best%.3f,"scaling_efficiency_2_to_8_min_based":${"%.3f".format(t2 / (4 * t8))},"scaling_efficiency_8_to_32_min_based":${"%.3f".format(t8 / (4 * t32))}},$hostJson,$patternBench}"""
     // Primary channel: one bare JSON line on stdout (build.sbt routes the
     // forked JVM's stdout through undecorated — no "[info]" prefix). Backup
     // channel: the same line in a file, in case the caller's capture wraps

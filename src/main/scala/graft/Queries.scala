@@ -147,6 +147,36 @@ object Queries {
       .filter(size(col("tokens")).between(60, 80))
       .select(col("doc_id").cast("bigint").as("doc_id"))
 
+  /** Vocabulary heavy hitters computed ENTIRELY in the compressed domain:
+    * CountMatch per-codec kernels (FSST code-byte counting + one symbol
+    * expansion per chunk, RLE run-sums, dict index counts, packed-value
+    * counts) build per-chunk histograms that merge under partial
+    * aggregation — GROUP BY token with no row decode anywhere in the plan.
+    * Same oracle as q_vocab_topk (which tokenizes raw text), so the two
+    * paths cross-check each other end to end.
+    */
+  def vocabTopKCompressed(spark: SparkSession, dir: String): DataFrame =
+    Graft.tokenHistogram(autoChunks(spark, dir))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(100)
+      .select(col("tok").cast("bigint").as("tok"), col("n"))
+
+  /** End-to-end SQL-text surface: the encoded per-document view registered
+    * as a temp view and queried with spark.sql(...) — parser → function
+    * registry → optimizer rewrite (contains_tokens → compressed_match,
+    * size → row-prefix read) all on the SQL path, proving the SQL surface is
+    * oracle-equivalent and not just the column API.
+    */
+  def sqlTextPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val v = vocab(spark, dir)
+    Graft.encodedRows(fsstChunks(spark, dir)).createOrReplaceTempView("graft_encoded")
+    spark.sql(
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id
+         |FROM graft_encoded
+         |WHERE contains_tokens(tokens, array(${v("value")}, ${v("table")}))
+         |  AND size(tokens) <= 100""".stripMargin)
+  }
+
   /** Aggregation over the DECODED table (exercises decode correctness at
     * aggregate granularity).
     */
@@ -227,6 +257,11 @@ object Queries {
       s"""SELECT doc_id FROM documents
          | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |           x -> x <> '')) BETWEEN 60 AND 80""".stripMargin,
+    "q_vocab_hist_compressed" -> OracleSql.vocabTopKSql(k = 100),
+    "q_sql_text_pushdown" ->
+      s"""SELECT doc_id FROM documents
+         | WHERE $padded LIKE '% value table %'
+         |   AND $ntokSql <= 100""".stripMargin,
     "q_token_count_by_source" ->
       s"""SELECT source, count(*) AS n_docs,
          | CAST(sum($ntokSql) AS BIGINT) AS sum_tokens
@@ -250,6 +285,8 @@ object Queries {
     "q_range_tokens" -> (rangeTokens _),
     "q_blocklist_tokens" -> (blocklistTokens _),
     "q_length_filter" -> (lengthFilter _),
+    "q_vocab_hist_compressed" -> (vocabTopKCompressed _),
+    "q_sql_text_pushdown" -> (sqlTextPushdown _),
     "q_token_count_by_source" -> (tokenCountBySource _),
     "q_codec_stats" -> (codecStats _),
     "q_codec_totals" -> (codecTotals _)

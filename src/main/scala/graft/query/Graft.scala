@@ -199,6 +199,23 @@ object Graft {
       .select(explode(mkCol(setExpr)).as("doc_id"))
   }
 
+  /** Compressed-domain token histogram: per-chunk (token, count) pairs from
+    * the CountMatch kernels (no row decode), merged by a standard
+    * groupBy(token) whose partial aggregation bounds the shuffle at
+    * |vocabulary| rows per map task. GROUP BY token over 100 TB without ever
+    * decompressing a row.
+    */
+  def tokenHistogram(chunks: DataFrame): DataFrame = {
+    val countsExpr = ChunkTokenCounts(
+      Seq(col2expr(col("data")), col2expr(col("offsets")), col2expr(col("row_count")),
+        col2expr(col("symtab")), col2expr(col("codec")),
+        col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok"))))
+    chunks
+      .select(explode(mkCol(countsExpr)).as("tc"))
+      .groupBy(col("tc.tok").as("tok"))
+      .agg(sum(col("tc.cnt")).as("n"))
+  }
+
   /** Late materialization (the reference's decode-only-matches behavior,
     * /root/reference/sketch.cc:921-927): match on compressed bytes, then
     * decode ONLY the matching rows of each chunk. Typed facade over

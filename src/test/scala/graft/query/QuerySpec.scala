@@ -362,4 +362,22 @@ class QuerySpec extends AnyFunSuite {
         s"$codecName/$mode late-decode differs from raw oracle")
     }
   }
+
+  test("compressed-domain token histogram equals the decoded histogram per codec") {
+    val want = input.toDF()
+      .select(explode(col("tokens")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val table = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))).toDF()
+      val got = Graft.tokenHistogram(table)
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: compressed-domain histogram differs from decoded oracle")
+    }
+    // auto-selected (mixed-codec) table too — the production path
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)).toDF()
+    val gotAuto = Graft.tokenHistogram(auto)
+    assert(want.except(gotAuto).isEmpty && gotAuto.except(want).isEmpty,
+      "auto-codec compressed-domain histogram differs from decoded oracle")
+  }
 }

@@ -270,6 +270,33 @@ object Soak {
         }, 2000)
     }
 
+    // compressed-domain token histogram: per-codec CountMatch kernels vs the
+    // decoded count oracle — exact (token, count) multiset equality per chunk
+    for (codec <- Codecs.all) {
+      check(s"counts-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks)) { rowsL =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val header = codec.buildHeader(rows, stats)
+            val enc = codec.encoder(header)
+            val out = new ByteWriter()
+            val offs = new Array[Int](rows.length + 1)
+            rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+            val (toks, cnts) = CountMatch.chunkCounts(codec.name, header, out.toBytes,
+              offs, rows.length, stats.minTok, stats.maxTok)
+            val oracle = scala.collection.mutable.LongMap.empty[Long]
+            rows.foreach(_.foreach(t => oracle.update(t.toLong, oracle.getOrElse(t.toLong, 0L) + 1L)))
+            val oKeys = oracle.keys.toArray.sorted
+            toks.length == oKeys.length &&
+              toks.indices.forall(i => toks(i).toLong == oKeys(i) && cnts(i) == oracle(oKeys(i)))
+          }
+        }, 2000)
+    }
+
     println("SOAK OK")
   }
 }
