@@ -95,6 +95,15 @@ object PipelineQueries {
         ratesPct = (0 to 4).map(i => s"src$i" -> 80).toMap, defaultPct = 30)
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
 
+  /** C4-style duplicate-span removal at token granularity: every
+    * non-overlapping 10-token block whose content occurred earlier in the
+    * corpus (first-occurrence order = (doc_id, blk)) is flagged. The block
+    * content itself is the shuffle key — exact by construction.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDuplicates(tokenDocs(spark, dir), k = 10)
+      .select(col("doc_id"), col("blk"))
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(tokenDocs(spark, dir), maxHamming = 3)
       .select(col("doc_a").cast("bigint"), col("doc_b").cast("bigint"), col("hamming"))
@@ -202,6 +211,7 @@ object PipelineQueries {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_decontaminate" -> (decontaminate _),
     "q_stratified_sample" -> (stratifiedSample _),
+    "q_span_dedup" -> (spanDedup _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_embedding_near_dups" -> (embeddingNearDups _),
     "q_ann_brute_force" -> (annBruteForce _),
@@ -260,6 +270,25 @@ object PipelineQueries {
          |FROM cum GROUP BY source""".stripMargin,
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups FROM documents GROUP BY text",
+    // Duplicate k-token spans, global first-occurrence kept: the oracle
+    // rebuilds the same non-overlapping 10-word blocks from text (the
+    // token↔word bijection makes block equality identical across domains)
+    // and flags every occurrence after the (doc_id, blk)-first one.
+    "q_span_dedup" ->
+      s"""WITH __sw AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, $wordsSql AS words FROM documents
+         |), __si AS (
+         |  SELECT doc_id, words, unnest(range(len(words) // 10)) AS i FROM __sw
+         |), __sb AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS blk,
+         |         array_to_string(words[(i*10+1):(i*10+10)], ' ') AS content
+         |  FROM __si
+         |), __sd AS (
+         |  SELECT doc_id, blk,
+         |         row_number() OVER (PARTITION BY content ORDER BY doc_id, blk) AS rn
+         |  FROM __sb
+         |)
+         |SELECT doc_id, blk FROM __sd WHERE rn > 1""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH w AS (
          |  SELECT doc_id, source, $wordsSql AS ws FROM documents

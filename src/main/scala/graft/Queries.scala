@@ -177,6 +177,18 @@ object Queries {
          |  AND size(tokens) <= 100""".stripMargin)
   }
 
+  /** Exact per-source length percentiles over the ENCODED table:
+    * size(tokens) on the encoded view rewrites to the varUInt row-prefix
+    * read (RowTokenCount), so the histogram inverse-CDF runs with ZERO
+    * decode — length analytics straight off compressed storage. Shares the
+    * q_length_percentiles oracle, so the raw-table and compressed paths
+    * cross-check each other.
+    */
+  def lengthPercentilesEncoded(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextAnalysis.lengthPercentiles(
+      Graft.encodedRows(fsstChunks(spark, dir))
+        .select(col("source"), size(col("tokens")).as("n_tok")))
+
   /** Aggregation over the DECODED table (exercises decode correctness at
     * aggregate granularity).
     */
@@ -258,6 +270,7 @@ object Queries {
          | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |           x -> x <> '')) BETWEEN 60 AND 80""".stripMargin,
     "q_vocab_hist_compressed" -> OracleSql.vocabTopKSql(k = 100),
+    "q_length_pct_encoded" -> PipelineQueries.oracles("q_length_percentiles"),
     "q_sql_text_pushdown" ->
       s"""SELECT doc_id FROM documents
          | WHERE $padded LIKE '% value table %'
@@ -285,6 +298,7 @@ object Queries {
     "q_range_tokens" -> (rangeTokens _),
     "q_blocklist_tokens" -> (blocklistTokens _),
     "q_length_filter" -> (lengthFilter _),
+    "q_length_pct_encoded" -> (lengthPercentilesEncoded _),
     "q_vocab_hist_compressed" -> (vocabTopKCompressed _),
     "q_sql_text_pushdown" -> (sqlTextPushdown _),
     "q_token_count_by_source" -> (tokenCountBySource _),

@@ -246,6 +246,36 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Duplicate-SPAN detection at token granularity — the token-domain analog
+    * of C4's repeated three-sentence-span removal (Raffel et al., JMLR'20
+    * §2.2): the corpus is cut into non-overlapping k-token blocks and every
+    * block whose content already occurred earlier (global first-occurrence
+    * order = (doc_id, block_index) ascending) is flagged for removal.
+    * Returns (doc_id, blk) of the DUPLICATE occurrences only.
+    *
+    * Scale shape: blocks explode to (content[k tokens], doc_id, blk) — the
+    * shuffle key is the 4k-byte block content itself (k=10 → 40 B, same
+    * order as a 128-bit hash but exact by construction, no collision
+    * analysis needed) and carries no document payload. One shuffle; group
+    * sizes are the duplication multiplicities — the quantity being measured.
+    * A trailing partial block (<k tokens) is excluded on both sides.
+    */
+  def spanDuplicates(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    val blocks = docs
+      .filter(size(col("tokens")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(tokens) div $k - 1), i -> slice(tokens, i * $k + 1, $k))"))
+          .as(Seq("blk", "content")))
+    val firstFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content")).orderBy(col("doc_id"), col("blk"))
+    blocks
+      .withColumn("rn", row_number().over(firstFirst))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("blk").cast("bigint").as("blk"))
+  }
+
   /** All-pairs exact variant — the ground truth for recall tests only; its
     * physical plan is a nested-loop join and must never ship in a query.
     */

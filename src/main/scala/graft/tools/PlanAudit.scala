@@ -159,6 +159,46 @@ object PlanAudit {
       require(!ss.contains("Exchange"), "chunk set scan must not shuffle")
       println("chunk range/set scans: no Exchange (scan -> match -> explode)")
     }
+
+    println("=== [10] round-5 aggregation algebra: compressed histogram, span dedup, encoded percentiles ===")
+    locally {
+      // compressed-domain GROUP BY token: no decode anywhere; the per-chunk
+      // histograms must merge under PARTIAL aggregation before the exchange
+      // (the property that bounds the shuffle at |vocab| rows per map task)
+      val hist = Graft.tokenHistogram(chunks)
+      val hp = hist.queryExecution.executedPlan.toString
+      require(hp.contains("chunk_token_counts"), "histogram must use the compressed kernel")
+      require(!hp.contains("decode_row"), "histogram must not decode rows")
+      val exchangeIdx = hp.indexOf("Exchange")
+      val partialIdx = hp.indexOf("HashAggregate")
+      require(exchangeIdx >= 0 && partialIdx >= 0,
+        "histogram plan must have a partial aggregate and an exchange")
+      // executedPlan prints top-down: final agg, exchange, partial agg, scan —
+      // a partial HashAggregate must appear BELOW (after) the Exchange text
+      require(hp.substring(exchangeIdx).contains("HashAggregate"),
+        "histogram partial aggregation must sit below the exchange (map-side combine)")
+      println("tokenHistogram: chunk_token_counts kernel, map-side partial agg, no decode")
+
+      // span dedup: ONE exchange (hash by block content), no payload columns.
+      // Measured over a MATERIALIZED token table (the deployment shape) so
+      // the upstream tokenization's own shuffle doesn't blur the count.
+      input.toDF().withColumn("doc_id", col("doc_id").cast("bigint"))
+        .write.mode("overwrite").parquet(s"$tmp/tokdocs")
+      val sd = graft.pipeline.Dedup.spanDuplicates(spark.read.parquet(s"$tmp/tokdocs"), 10)
+      val sp = sd.queryExecution.executedPlan.toString
+      val nExch = "Exchange hashpartitioning".r.findAllIn(sp).length
+      require(nExch == 1, s"span dedup must shuffle exactly once, saw $nExch")
+      println("spanDuplicates: one hash exchange on block content, window first-occurrence")
+
+      // encoded-view length percentiles: the varint-prefix read feeds the
+      // histogram — no decode_row may survive optimization
+      val enc = Graft.encodedRows(chunks).select(col("source"), size(col("tokens")).as("n_tok"))
+      val pct = graft.pipeline.TextAnalysis.lengthPercentiles(enc, Seq(50, 90, 99))
+      val pp = pct.queryExecution.optimizedPlan.toString
+      require(pp.contains("row_token_count") && !pp.contains("decode_row"),
+        "encoded percentiles must read lengths from the varint prefix, not decode")
+      println("lengthPercentiles(encoded): row_token_count prefix read, no decode")
+    }
     spark.stop()
   }
 

@@ -34,6 +34,11 @@ object ScaleUp10x {
 
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 20000000L
+    // default buckets keep the bench's rows-per-bucket ratio (2M rows / 64);
+    // waves sized so buckets-per-wave ≥ 20× reduce parallelism (the SCALE.md
+    // §7 smoothing lever: codec-cost variance averages out inside a task)
+    val buckets = if (args.length > 1) args(1).toInt else (rows / 31250L).toInt
+    val waves = if (args.length > 2) args(2).toInt else 4
     val inputPath = s"/tmp/graft_scaleup_input_$rows"
     val tablePath = s"/tmp/graft_scaleup_table_$rows"
 
@@ -61,7 +66,7 @@ object ScaleUp10x {
       val input = s.read.parquet(inputPath).as[TokenRow]
       def run(): Double = {
         val t0 = System.nanoTime()
-        val (t, b, _) = EncodeJob.sizeReport(EncodeJob.encode(input, EncodeOptions(numBuckets = 640)))
+        val (t, b, _) = EncodeJob.sizeReport(EncodeJob.encode(input, EncodeOptions(numBuckets = buckets)))
         toks = t; bytes = b
         (System.nanoTime() - t0) / 1e9
       }
@@ -88,7 +93,7 @@ object ScaleUp10x {
     val io = new ParquetTableIO(tablePath)
     val t0 = System.nanoTime()
     val committed = ResumableEncode.run(s, input, io, s"scaleup-$rows",
-      EncodeOptions(numBuckets = 640, waves = 4))
+      EncodeOptions(numBuckets = buckets, waves = waves))
     val secWrite = (System.nanoTime() - t0) / 1e9
     val wToks = committed.map(_.tokens).sum
     val wBytes = committed.map(_.bytes).sum
@@ -118,7 +123,7 @@ object ScaleUp10x {
 
     val t32 = times(32)
     val t8 = times(8)
-    println(f"""{"rows":$rows,"tokens":$toks,"bytes":$bytes,"bytes_per_token":${bytes.toDouble / toks}%.4f,"sec_local32":$t32%.2f,"sec_local8":$t8%.2f,"tokens_per_sec_local32":${(toks / t32).toLong},"eff_8_to_32":${t8 / (4 * t32)}%.3f,"resumable_write_sec":$secWrite%.2f,"resumable_tokens":$wToks,"resumable_bytes_per_token":${wBytes.toDouble / math.max(wToks, 1)}%.4f,"buckets_committed":${committed.length},"scan_matches":$nCmp,"sec_compressed_scan":$tCmp%.2f,"sec_raw_scan":$tRaw%.2f}""")
+    println(f"""{"rows":$rows,"buckets":$buckets,"waves":$waves,"tokens":$toks,"bytes":$bytes,"bytes_per_token":${bytes.toDouble / toks}%.4f,"sec_local32":$t32%.2f,"sec_local8":$t8%.2f,"tokens_per_sec_local32":${(toks / t32).toLong},"eff_8_to_32":${t8 / (4 * t32)}%.3f,"resumable_write_sec":$secWrite%.2f,"resumable_tokens":$wToks,"resumable_bytes_per_token":${wBytes.toDouble / math.max(wToks, 1)}%.4f,"buckets_committed":${committed.length},"scan_matches":$nCmp,"sec_compressed_scan":$tCmp%.2f,"sec_raw_scan":$tRaw%.2f}""")
     spread.foreach(println)
     s.stop()
   }

@@ -298,4 +298,35 @@ class PipelineSpec extends AnyFunSuite {
       assert(got(src) == want, s"$src: got ${got(src)}, want $want")
     }
   }
+
+  test("span dedup: duplicate k-token blocks flagged, first occurrence kept") {
+    import spark.implicits._
+    val k = 4
+    val blkA = Array(1, 2, 3, 4)
+    val blkB = Array(5, 6, 7, 8)
+    val blkC = Array(9, 9, 9, 9)
+    val corpus = Seq(
+      // doc 1: blocks A,B — the first occurrences
+      ("1", blkA ++ blkB, 8, "s"),
+      // doc 2: block A again (flagged blk 0) + fresh C + trailing partial (ignored)
+      ("2", blkA ++ blkC ++ Array(42), 9, "s"),
+      // doc 3: exact copy of doc 1 — both blocks flagged
+      ("3", blkA ++ blkB, 8, "s"),
+      // doc 4: shorter than k — contributes nothing
+      ("4", Array(1, 2, 3), 3, "s"),
+      // doc 5: internal duplicate — second occurrence inside ONE doc flagged
+      ("5", blkC ++ blkC, 8, "s")
+    ).toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("doc_id", col("doc_id").cast("bigint"))
+    val got = Dedup.spanDuplicates(corpus, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 2 blk 1 (C) is C's FIRST occurrence (doc 2 < doc 5), so doc 5
+    // blk 0 and blk 1 are both duplicates of it
+    assert(got == Set((2L, 0L), (3L, 0L), (3L, 1L), (5L, 0L), (5L, 1L)), s"got $got")
+    // misaligned content is NOT flagged: block identity is positional
+    val shifted = Seq(("1", blkA ++ blkB, 8, "s"), ("2", Array(0) ++ blkA ++ Array(0, 0, 0), 8, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+      .withColumn("doc_id", col("doc_id").cast("bigint"))
+    assert(Dedup.spanDuplicates(shifted, k).count() == 0)
+  }
 }
