@@ -13,37 +13,55 @@ import org.apache.spark.sql.functions._
   * with `.writeTo(table).append()` — nothing above it changes.
   */
 trait TableIO {
-  def appendChunks(chunks: Dataset[EncodedChunk]): Unit
+  /** Write one commit's chunk files under an isolated commit id. A commit
+    * becomes durable only when a manifest row references its id; rewriting
+    * the same commit id REPLACES that commit's files (replay idempotence).
+    */
+  def appendChunks(chunks: Dataset[EncodedChunk], commitId: String): Unit
   def appendManifest(rows: DataFrame): Unit
   def readChunks(spark: SparkSession): Dataset[EncodedChunk]
   def readManifest(spark: SparkSession): Option[DataFrame]
-  /** Drop any chunk files of the given (uncommitted) buckets; see
-    * ParquetTableIO.dropBuckets. No-op unless implemented.
+  /** Drop chunk files of commits NOT in `keep` — crashed attempts that never
+    * reached the manifest. No-op unless implemented.
     */
-  def dropBuckets(spark: SparkSession, buckets: Seq[Int]): Unit = {}
+  def dropOrphanCommits(spark: SparkSession, keep: Set[String]): Unit = {}
 }
 
 final class ParquetTableIO(root: String) extends TableIO {
   private val chunksDir = s"$root/chunks"
   private val manifestDir = s"$root/manifest"
 
-  def appendChunks(chunks: Dataset[EncodedChunk]): Unit =
-    chunks.write.mode(SaveMode.Append).partitionBy("part_id").parquet(chunksDir)
-
-  /** Remove chunk files of buckets that were written but never reached the
-    * manifest (a crash between the chunk append and the manifest append) —
-    * called by ResumableEncode before re-encoding those buckets so a rerun
-    * cannot duplicate rows. partitionBy("part_id") gives each bucket its own
-    * directory, making this cleanup exact. With Iceberg, the snapshot commit
-    * makes chunk+manifest atomic and this step disappears.
+  /** One flat directory of ~reduce-parallelism-sized files per commit
+    * (`chunks/commit=<id>/`), NOT partitionBy(part_id): per-bucket Hive
+    * partitioning puts every bucket in its own directory of tiny files,
+    * which at 10^5–10^7 production buckets is a filesystem killer and
+    * measurably taxed the 25× scan (SCALE.md §8: ~25% extra CPU/token from
+    * the small-file layout alone). The commit directory IS the recovery
+    * unit — the plain-Parquet analog of an Iceberg snapshot — and `commit`
+    * surfaces as a partition column on read. Overwrite semantics make
+    * rewriting the same commit id replace a crashed attempt's files.
     */
-  override def dropBuckets(spark: SparkSession, buckets: Seq[Int]): Unit = {
+  def appendChunks(chunks: Dataset[EncodedChunk], commitId: String): Unit = {
+    require(commitId.nonEmpty && commitId.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"commit id must be path-safe: $commitId")
+    chunks.write.mode(SaveMode.Overwrite).parquet(s"$chunksDir/commit=$commitId")
+  }
+
+  /** Remove commit directories the manifest does not reference (a crash
+    * between the chunk write and the manifest append leaves an orphan
+    * commit) — called by ResumableEncode before re-encoding so a rerun
+    * cannot duplicate rows. With Iceberg, the snapshot commit makes
+    * chunk+manifest atomic and this step disappears.
+    */
+  override def dropOrphanCommits(spark: SparkSession, keep: Set[String]): Unit = {
     val base = new org.apache.hadoop.fs.Path(chunksDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
-    buckets.foreach { b =>
-      val dir = new org.apache.hadoop.fs.Path(base, s"part_id=$b")
-      if (fs.exists(dir)) fs.delete(dir, true)
+    fs.listStatus(base).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("commit=") && !keep.contains(name.stripPrefix("commit=")))
+        fs.delete(st.getPath, true)
     }
   }
 
@@ -95,6 +113,16 @@ object ResumableEncode {
       case None => Set.empty
     }
 
+    // heal the crash window: any chunk commit the manifest does not
+    // reference is a crashed attempt's leftovers — delete it before
+    // re-encoding those buckets (duplicate-free resume)
+    val keepCommits: Set[String] = io.readManifest(spark) match {
+      case Some(m) => m.filter(col("status") === "committed")
+        .select("commit_id").distinct().collect().map(_.getString(0)).toSet
+      case None => Set.empty
+    }
+    io.dropOrphanCommits(spark, keepCommits)
+
     val committed = scala.collection.mutable.ArrayBuffer.empty[ManifestRow]
     // Waves take CONTIGUOUS bucket ranges, not mod-classes: the reduce
     // partitioner is bucket mod P, so a mod-`waves` wave would collide with
@@ -112,13 +140,15 @@ object ResumableEncode {
       val todo = waveBuckets.filterNot(doneBuckets)
       if (todo.nonEmpty) {
         val todoSet = todo.toSet
-        io.dropBuckets(spark, todo) // clear orphans from a crashed prior attempt
+        // attempt-unique commit id: a crashed attempt's id never reaches the
+        // manifest, so the next resume's dropOrphanCommits removes its files
+        val commitId = s"$runId-w$wave-${java.util.UUID.randomUUID().toString.take(8)}"
         // bucket filter INSIDE encode: one bucket computation, and a
         // bare-scan input keeps the columnar pack path (Buckets.of is
         // bit-identical to the SQL expression — BucketSpec pins it)
         val t0 = System.nanoTime()
         val chunks = EncodeJob.encode(input, opts.copy(onlyBuckets = Some(todoSet)))
-        io.appendChunks(chunks)
+        io.appendChunks(chunks, commitId)
         val ms = (System.nanoTime() - t0) / 1000000L
         // lineage + metrics per bucket, from the committed chunk table
         val written = io.readChunks(spark).toDF()
@@ -132,8 +162,8 @@ object ResumableEncode {
         val rows = todo.map { b =>
           written.find(_.getInt(0) == b) match {
             case Some(r) => ManifestRow(runId, wave, b, "committed",
-              r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), now)
-            case None => ManifestRow(runId, wave, b, "committed", 0L, 0L, 0L, 0L, now)
+              r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), now, commitId)
+            case None => ManifestRow(runId, wave, b, "committed", 0L, 0L, 0L, 0L, now, commitId)
           }
         }
         io.appendManifest(spark.createDataFrame(rows))

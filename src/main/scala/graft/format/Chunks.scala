@@ -57,7 +57,11 @@ final case class ManifestRow(
     rows: Long,
     tokens: Long,
     bytes: Long,
-    committed_at: Long)
+    committed_at: Long,
+    // file-commit this bucket's chunks live in (chunks/commit=<id>/...);
+    // commits absent from the manifest are orphans a resume may delete —
+    // the plain-Parquet analog of an Iceberg snapshot id
+    commit_id: String)
 
 object Offsets {
   /** Row end positions (offsets(0)=first row end, ... length=rowCount),

@@ -16,12 +16,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * The reference has no streaming surface (SURVEY.md §2.3); this is the
   * Spark-native extension point for continuous training-data ingestion.
   *
-  * Delivery semantics: batch replay after a crash is detected via the
-  * manifest (a batch whose manifest rows exist is skipped), so the only
-  * duplication window is a crash BETWEEN the chunk append and the manifest
-  * append of one batch. Closing that window needs a transactional table
-  * commit (the Iceberg swap point documented on TableIO); with plain
-  * Parquet the sink is at-least-once within that window.
+  * Delivery semantics: EXACTLY-ONCE against a commit-directory TableIO.
+  * Batch replay after a crash is detected via the manifest (a batch whose
+  * manifest rows exist is skipped); a crash BETWEEN the chunk append and
+  * the manifest append leaves an orphan commit directory whose id is
+  * deterministic per batch, so the replay's appendChunks(commitId =
+  * batchRunId) OVERWRITES the partial files rather than duplicating them —
+  * the plain-Parquet equivalent of the Iceberg snapshot commit documented
+  * on TableIO.
   */
 object StreamingEncode {
 
@@ -47,7 +49,10 @@ object StreamingEncode {
           // path's default tag 0 and from every other micro-batch
           val chunks = EncodeJob.encode(batch, opts.copy(jobTag = batchId + 1)).cache()
           try {
-            io.appendChunks(chunks)
+            // deterministic commit id per batch: a replayed batch rewrites
+            // its own commit directory (exactly-once through the crash
+            // window between chunk append and manifest append)
+            io.appendChunks(chunks, batchRunId)
             // metrics of THIS batch's chunks only (aggregating the whole
             // table would cumulate prior batches into every manifest row)
             val written = chunks.toDF()
@@ -59,7 +64,7 @@ object StreamingEncode {
             val now = System.currentTimeMillis()
             val rows = written.toSeq.map(r => ManifestRow(
               batchRunId, batchId, r.getInt(0), "committed",
-              r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), now))
+              r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), now, batchRunId))
             if (rows.nonEmpty) io.appendManifest(spark.createDataFrame(rows))
           } finally chunks.unpersist()
         }

@@ -87,9 +87,9 @@ class EncodeSpec extends AnyFunSuite {
     // first attempt: only wave 0 runs (waves=3 but we interrupt by limiting)
     val partial = new TableIO {
       var wavesDone = 0
-      def appendChunks(c: org.apache.spark.sql.Dataset[EncodedChunk]): Unit = {
+      def appendChunks(c: org.apache.spark.sql.Dataset[EncodedChunk], commitId: String): Unit = {
         if (wavesDone >= 1) throw new RuntimeException("simulated kill after wave 0")
-        ioC.appendChunks(c)
+        ioC.appendChunks(c, commitId)
       }
       def appendManifest(r: org.apache.spark.sql.DataFrame): Unit = {
         ioC.appendManifest(r); wavesDone += 1
@@ -130,12 +130,14 @@ class EncodeSpec extends AnyFunSuite {
     val io = new ParquetTableIO(s"$dir/t")
     // crash exactly in the window: chunks of wave 0 land, manifest does not
     val crashing = new TableIO {
-      def appendChunks(c: org.apache.spark.sql.Dataset[EncodedChunk]): Unit = io.appendChunks(c)
+      def appendChunks(c: org.apache.spark.sql.Dataset[EncodedChunk], commitId: String): Unit =
+        io.appendChunks(c, commitId)
       def appendManifest(r: org.apache.spark.sql.DataFrame): Unit =
         throw new RuntimeException("simulated kill before manifest commit")
       def readChunks(s: SparkSession) = io.readChunks(s)
       def readManifest(s: SparkSession) = io.readManifest(s)
-      override def dropBuckets(s: SparkSession, b: Seq[Int]): Unit = io.dropBuckets(s, b)
+      override def dropOrphanCommits(s: SparkSession, keep: Set[String]): Unit =
+        io.dropOrphanCommits(s, keep)
     }
     intercept[RuntimeException] { ResumableEncode.run(spark, input, crashing, "runX", opts) }
     assert(io.readChunks(spark).count() > 0, "orphan chunks expected after crash")

@@ -53,9 +53,9 @@ class StreamingEncodeSpec extends AnyFunSuite {
     // first run: die on the second micro-batch AFTER batch 0 committed
     val failing = new graft.encode.TableIO {
       var batches = 0
-      def appendChunks(c: org.apache.spark.sql.Dataset[graft.format.EncodedChunk]): Unit = {
+      def appendChunks(c: org.apache.spark.sql.Dataset[graft.format.EncodedChunk], commitId: String): Unit = {
         if (batches >= 1) throw new RuntimeException("simulated stream crash")
-        io.appendChunks(c)
+        io.appendChunks(c, commitId)
       }
       def appendManifest(r: org.apache.spark.sql.DataFrame): Unit = { io.appendManifest(r); batches += 1 }
       def readChunks(s: SparkSession) = io.readChunks(s)
