@@ -271,68 +271,81 @@ object Bench {
       require(nRaw == nDec && nDec == nCmp && nCmp == nLate && nLate == nFsst,
         s"pattern-scan paths disagree: $nRaw $nDec $nCmp $nFsst $nLate")
 
-      // dict-domain and RLE-domain compressed scans (PackedMatch): each vs
-      // its own decode-then-match baseline on the same chunk table
+      // Per-codec scan-vs-decode pairs (dict / rle / bitpack-prefix /
+      // bitpack-contains / fsst-suffix / range). These sub-second readings
+      // flipped between windows when each side was timed in its own block
+      // (round-5 committed window: dict read 0.927/0.560 vs round-4's
+      // 0.070/0.086 — a window shift mid-pair), so ALL pair variants are
+      // measured INTERLEAVED in one loop: 2 warm laps, then min of 3, the
+      // same discipline as the headline variants.
       import graft.spark.Tokenize
       val (docsTok, v) = Tokenize.documents(spark, sfDir)
       val dictChunks = EncodeJob.encode(docsTok,
         EncodeOptions(numBuckets = 8, forceCodec = Some("dict"))).toDF().cache()
       val dictPat = Seq(v("value"), v("table"))
-      val (nDictS, tDictS) = best(
-        Graft.scanPattern(dictChunks, graft.core.PatternMode.Contains, Seq(dictPat)).count())
-      val (nDictD, tDictD) = best(
-        EncodeJob.decode(dictChunks.as[graft.format.EncodedChunk]).toDF()
-          .filter(Graft.containsTokens(col("tokens"), dictPat)).count())
       val ev = Tokenize.eventTypes(spark, sfDir)
       val rleChunks = EncodeJob.encode(ev,
         EncodeOptions(numBuckets = 8, forceCodec = Some("rle"))).toDF().cache()
       val rlePat = Seq(0, 0, 0)
-      val (nRleS, tRleS) = best(
-        Graft.scanPattern(rleChunks, graft.core.PatternMode.Contains, Seq(rlePat)).count())
-      val (nRleD, tRleD) = best(
-        EncodeJob.decode(rleChunks.as[graft.format.EncodedChunk]).toDF()
-          .filter(Graft.containsTokens(col("tokens"), rlePat)).count())
-      // bitpack-domain anchored scan (PackedAnchor): prefix match against
-      // each row's frame without decode, vs decode-then-match baseline
       val li = Tokenize.lineitemQuantities(spark, sfDir)
       val bpChunks = EncodeJob.encode(li,
         EncodeOptions(numBuckets = 8, forceCodec = Some("bitpack"))).toDF().cache()
       val bpPat = Seq(1)
-      val (nBpS, tBpS) = best(
-        Graft.scanPattern(bpChunks, graft.core.PatternMode.Prefix, Seq(bpPat)).count())
-      val (nBpD, tBpD) = best(
-        EncodeJob.decode(bpChunks.as[graft.format.EncodedChunk]).toDF()
-          .filter(Graft.startsWithTokens(col("tokens"), bpPat)).count())
-      // bitpack-domain CONTAINS (round 4): sliding bit-phase images over the
-      // packed stream, vs decode-then-match on the same chunks
       val bpCPat = Seq(7, 7)
-      val (nBpCS, tBpCS) = best(
-        Graft.scanPattern(bpChunks, graft.core.PatternMode.Contains, Seq(bpCPat)).count())
-      val (nBpCD, tBpCD) = best(
-        EncodeJob.decode(bpChunks.as[graft.format.EncodedChunk]).toDF()
-          .filter(Graft.containsTokens(col("tokens"), bpCPat)).count())
+      val sfxPat = pat.takeRight(2)
+      val (rLo, rHi) = (pat.min, pat.min + 3)
+      val pairVariants: Seq[(String, () => Long)] = Seq(
+        "dictS" -> (() =>
+          Graft.scanPattern(dictChunks, graft.core.PatternMode.Contains, Seq(dictPat)).count()),
+        "dictD" -> (() => EncodeJob.decode(dictChunks.as[graft.format.EncodedChunk]).toDF()
+          .filter(Graft.containsTokens(col("tokens"), dictPat)).count()),
+        "rleS" -> (() =>
+          Graft.scanPattern(rleChunks, graft.core.PatternMode.Contains, Seq(rlePat)).count()),
+        "rleD" -> (() => EncodeJob.decode(rleChunks.as[graft.format.EncodedChunk]).toDF()
+          .filter(Graft.containsTokens(col("tokens"), rlePat)).count()),
+        // bitpack-domain anchored prefix (PackedAnchor) + bit-phase contains
+        "bpS" -> (() =>
+          Graft.scanPattern(bpChunks, graft.core.PatternMode.Prefix, Seq(bpPat)).count()),
+        "bpD" -> (() => EncodeJob.decode(bpChunks.as[graft.format.EncodedChunk]).toDF()
+          .filter(Graft.startsWithTokens(col("tokens"), bpPat)).count()),
+        "bpCS" -> (() =>
+          Graft.scanPattern(bpChunks, graft.core.PatternMode.Contains, Seq(bpCPat)).count()),
+        "bpCD" -> (() => EncodeJob.decode(bpChunks.as[graft.format.EncodedChunk]).toDF()
+          .filter(Graft.containsTokens(col("tokens"), bpCPat)).count()),
+        // FSST suffix: positional trailing-window matcher vs decode
+        "sfxS" -> (() =>
+          Graft.scanPattern(chunks.toDF(), graft.core.PatternMode.Suffix, Seq(sfxPat)).count()),
+        "sfxD" -> (() => EncodeJob.decode(chunks).toDF()
+          .filter(Graft.endsWithTokens(col("tokens"), sfxPat)).count()),
+        // token-range: per-codec compressed kernels + zone-map pruning
+        "rngS" -> (() => Graft.scanRange(autoChunks, rLo, rHi).count()),
+        "rngD" -> (() => EncodeJob.decodeDf(autoChunks)
+          .filter(Graft.anyTokenInRange(col("tokens"), rLo, rHi)).count()))
+      val pCounts = scala.collection.mutable.Map.empty[String, Long]
+      val pTimes = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(Double.MaxValue)
+      for (lap <- 1 to 5; (name, f) <- pairVariants) {
+        val t0 = System.nanoTime()
+        val n = f()
+        val sec = (System.nanoTime() - t0) / 1e9
+        pCounts(name) = n
+        if (lap > 2 && sec < pTimes(name)) pTimes(name) = sec
+      }
+      val (nDictS, tDictS) = (pCounts("dictS"), pTimes("dictS"))
+      val (nDictD, tDictD) = (pCounts("dictD"), pTimes("dictD"))
+      val (nRleS, tRleS) = (pCounts("rleS"), pTimes("rleS"))
+      val (nRleD, tRleD) = (pCounts("rleD"), pTimes("rleD"))
+      val (nBpS, tBpS) = (pCounts("bpS"), pTimes("bpS"))
+      val (nBpD, tBpD) = (pCounts("bpD"), pTimes("bpD"))
+      val (nBpCS, tBpCS) = (pCounts("bpCS"), pTimes("bpCS"))
+      val (nBpCD, tBpCD) = (pCounts("bpCD"), pTimes("bpCD"))
+      val (nSfxS, tSfxS) = (pCounts("sfxS"), pTimes("sfxS"))
+      val (nSfxD, tSfxD) = (pCounts("sfxD"), pTimes("sfxD"))
+      val (nRngS, tRngS) = (pCounts("rngS"), pTimes("rngS"))
+      val (nRngD, tRngD) = (pCounts("rngD"), pTimes("rngD"))
       require(nDictS == nDictD && nRleS == nRleD && nBpS == nBpD && nBpCS == nBpCD,
         s"packed-domain scans disagree with decode: dict $nDictS/$nDictD rle $nRleS/$nRleD " +
           s"bp $nBpS/$nBpD bpContains $nBpCS/$nBpCD")
-      // FSST suffix (round 5): positional trailing-window matcher — the
-      // header's token count fixes the window [n-m,n), skip phase counts
-      // tokens (no DFA), compare exits on first mismatch — vs
-      // decode-then-match on the same fsst chunk table
-      val sfxPat = pat.takeRight(2)
-      val (nSfxS, tSfxS) = best(
-        Graft.scanPattern(chunks.toDF(), graft.core.PatternMode.Suffix, Seq(sfxPat)).count())
-      val (nSfxD, tSfxD) = best(
-        EncodeJob.decode(chunks).toDF()
-          .filter(Graft.endsWithTokens(col("tokens"), sfxPat)).count())
       require(nSfxS == nSfxD, s"suffix scan disagrees with decode: $nSfxS/$nSfxD")
-      // token-range scan (round 5): per-codec compressed-domain range
-      // kernels + zone-map (min/max token) chunk pruning on the AUTO-codec
-      // product table, vs decode-then-test on the same chunks
-      val (rLo, rHi) = (pat.min, pat.min + 3)
-      val (nRngS, tRngS) = best(Graft.scanRange(autoChunks, rLo, rHi).count())
-      val (nRngD, tRngD) = best(
-        EncodeJob.decodeDf(autoChunks)
-          .filter(Graft.anyTokenInRange(col("tokens"), rLo, rHi)).count())
       require(nRngS == nRngD, s"range scan disagrees with decode: $nRngS/$nRngD")
       // compressed-domain GROUP BY token (round 5): per-chunk CountMatch
       // histograms (FSST code counting + symbol expansion, RLE run-sums,
@@ -345,6 +358,16 @@ object Bench {
           .select(org.apache.spark.sql.functions.explode(col("tokens")).as("tok"))
           .groupBy("tok").count().count())
       require(nHistC == nHistD, s"compressed histogram disagrees with decode: $nHistC/$nHistD")
+      // compressed-domain BIGRAM counts (BPE-merge-style pair statistics):
+      // code-transition matrix + symbol expansion per chunk, vs decode +
+      // pair-explode + groupBy. count() = distinct bigrams — cross-assert.
+      val (nBgC, tBgC) = best(Graft.bigramHistogram(autoChunks).count())
+      val (nBgD, tBgD) = best(
+        EncodeJob.decodeDf(autoChunks).filter(col("n_tok") >= 2)
+          .select(org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.expr(
+            "transform(sequence(1, size(tokens) - 1), i -> struct(tokens[i-1] AS t1, tokens[i] AS t2))")).as("bg"))
+          .groupBy("bg.t1", "bg.t2").count().count())
+      require(nBgC == nBgD, s"compressed bigrams disagree with decode: $nBgC/$nBgD")
       dictChunks.unpersist()
       rleChunks.unpersist()
       bpChunks.unpersist()
@@ -357,7 +380,7 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sum(col("n_tok"))).collect()(0).getLong(0)
       }
 
-      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
+      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"bigram_pairs":$nBgC,"sec_bigram_compressed":$tBgC%.3f,"sec_bigram_decode_group":$tBgD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
     }
 
     spark.stop()

@@ -251,6 +251,19 @@ object OracleSql {
     * tie-break, 'und' when no profile matches. Profiles are read from
     * TextAnalysis.LangProfiles so the two sides cannot drift.
     */
+  /** Bigram heavy hitters: exact adjacent-pair counts over the reproduced
+    * positional tokenization (__tok carries positions, so the self-join on
+    * i+1 is the bigram relation), deterministic (count desc, t1, t2)
+    * tiebreak — the oracle for the compressed-domain pair-count kernel.
+    */
+  def bigramTopKSql(k: Int): String =
+    s"""WITH $tokenizeCtes,
+       |__bg AS (
+       |  SELECT a.tok AS t1, b.tok AS t2
+       |  FROM __tok a JOIN __tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+       |SELECT CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2, count(*) AS n
+       |FROM __bg GROUP BY 1, 2 ORDER BY n DESC, t1, t2 LIMIT $k""".stripMargin
+
   /** Vocabulary heavy hitters (TextAnalysis.vocabTopK semantics): exact
     * token counts over the reproduced tokenization (same sorted-distinct
     * vocab ids), deterministic (count desc, token asc) tiebreak.

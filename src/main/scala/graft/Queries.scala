@@ -161,6 +161,19 @@ object Queries {
       .limit(100)
       .select(col("tok").cast("bigint").as("tok"), col("n"))
 
+  /** Bigram heavy hitters computed ENTIRELY in the compressed domain — the
+    * pair-count table behind BPE-style merge analysis (which token pairs
+    * would merge next), over compressed storage with no row decode: FSST
+    * counts code transitions + per-code occurrences and expands through the
+    * symbol table once per chunk; RLE contributes (v,v)×(run−1) per run.
+    */
+  def bigramTopKCompressed(spark: SparkSession, dir: String): DataFrame =
+    Graft.bigramHistogram(autoChunks(spark, dir))
+      .orderBy(col("n").desc, col("t1").asc, col("t2").asc)
+      .limit(100)
+      .select(col("t1").cast("bigint").as("t1"),
+        col("t2").cast("bigint").as("t2"), col("n"))
+
   /** End-to-end SQL-text surface: the encoded per-document view registered
     * as a temp view and queried with spark.sql(...) — parser → function
     * registry → optimizer rewrite (contains_tokens → compressed_match,
@@ -270,6 +283,7 @@ object Queries {
          | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |           x -> x <> '')) BETWEEN 60 AND 80""".stripMargin,
     "q_vocab_hist_compressed" -> OracleSql.vocabTopKSql(k = 100),
+    "q_bigram_topk_compressed" -> OracleSql.bigramTopKSql(k = 100),
     "q_length_pct_encoded" -> PipelineQueries.oracles("q_length_percentiles"),
     "q_sql_text_pushdown" ->
       s"""SELECT doc_id FROM documents
@@ -300,6 +314,7 @@ object Queries {
     "q_length_filter" -> (lengthFilter _),
     "q_length_pct_encoded" -> (lengthPercentilesEncoded _),
     "q_vocab_hist_compressed" -> (vocabTopKCompressed _),
+    "q_bigram_topk_compressed" -> (bigramTopKCompressed _),
     "q_sql_text_pushdown" -> (sqlTextPushdown _),
     "q_token_count_by_source" -> (tokenCountBySource _),
     "q_codec_stats" -> (codecStats _),

@@ -74,6 +74,284 @@ object CountMatch {
     }
   }
 
+  /** Bigram (token-pair) accumulator: dense (span² longs) when the chunk's
+    * zone-mapped token range is tiny, hash otherwise — distinct bigrams per
+    * chunk are bounded by the chunk token cap either way.
+    */
+  final class BigramCounter(minTok: Int, maxTok: Int) {
+    // span bounded FIRST so span² cannot overflow (full-int-range chunks
+    // have span ≈ 2^32; squaring that wraps Long)
+    private val span: Long = maxTok.toLong - minTok.toLong + 1L
+    private val dense: Array[Long] =
+      if (span > 0 && span <= (1L << 10)) new Array[Long]((span * span).toInt) else null
+    private val sparse: mutable.LongMap[Long] =
+      if (dense == null) mutable.LongMap.empty[Long] else null
+
+    def add(t1: Int, t2: Int, c: Long): Unit =
+      if (dense != null) dense((t1 - minTok) * span.toInt + (t2 - minTok)) += c
+      else {
+        val k = (t1.toLong << 32) | (t2.toLong & 0xffffffffL)
+        sparse.update(k, sparse.getOrElse(k, 0L) + c)
+      }
+
+    /** (t1s, t2s, counts) with counts > 0, ordered by (t1, t2). */
+    def result(): (Array[Int], Array[Int], Array[Long]) = {
+      if (dense != null) {
+        var nz = 0
+        var i = 0
+        while (i < dense.length) { if (dense(i) != 0L) nz += 1; i += 1 }
+        val t1s = new Array[Int](nz)
+        val t2s = new Array[Int](nz)
+        val cs = new Array[Long](nz)
+        var k = 0
+        i = 0
+        while (i < dense.length) {
+          if (dense(i) != 0L) {
+            t1s(k) = minTok + i / span.toInt
+            t2s(k) = minTok + i % span.toInt
+            cs(k) = dense(i)
+            k += 1
+          }
+          i += 1
+        }
+        (t1s, t2s, cs)
+      } else {
+        // sort by (t1, t2): the packed key orders correctly only when both
+        // halves share a sign class — sort by the unpacked pair instead
+        val sorted = sparse.keys.toArray.sortBy(k => ((k >> 32).toInt, k.toInt))
+        val t1s = new Array[Int](sorted.length)
+        val t2s = new Array[Int](sorted.length)
+        val cs = new Array[Long](sorted.length)
+        var i = 0
+        while (i < sorted.length) {
+          t1s(i) = (sorted(i) >> 32).toInt
+          t2s(i) = sorted(i).toInt
+          cs(i) = sparse(sorted(i))
+          i += 1
+        }
+        (t1s, t2s, cs)
+      }
+    }
+  }
+
+  /** Bigram histogram of one whole chunk — the pair-count statistic behind
+    * BPE-style merge analysis and co-occurrence studies — computed in each
+    * codec's compressed domain. Bigrams never cross row boundaries.
+    *
+    *  - fsst:  one pass over code bytes. Intra-symbol bigrams come from the
+    *           per-code occurrence counts × the symbol's internal pairs
+    *           (expanded once per chunk); code→code boundary bigrams from a
+    *           256×256 transition matrix (also expanded once); only
+    *           boundaries touching an escape literal are recorded directly.
+    *           Work: O(code bytes) + O(256² + 256·maxSymLen) per chunk.
+    *  - rle:   a run of length r contributes (v,v)×(r−1) and one boundary
+    *           pair per adjacent run — O(runs), repeated tokens untouched.
+    *  - dict/bitpack/for/raw: walk packed/varint values with a previous-
+    *           value cursor (no row arrays materialize).
+    */
+  def chunkBigrams(codec: String, header: Array[Byte], data: Array[Byte],
+                   offs: Array[Int], rowCount: Int,
+                   minTok: Int, maxTok: Int): (Array[Int], Array[Int], Array[Long]) = {
+    val acc = new BigramCounter(minTok, maxTok)
+    codec match {
+      case FsstTokenCodec.name => bigramFsst(SymTab.fromBytes(header), data, offs, rowCount, acc)
+      case RleCodec.name       => bigramRle(data, offs, rowCount, acc)
+      case DictCodec.name =>
+        val dict = DictCodec.readDict(header)
+        val width = BitPack.bitsFor(math.max(dict.length - 1, 0))
+        bigramPacked(data, offs, rowCount, width, i => dict(i), acc)
+      case BitPackCodec.name =>
+        bigramPacked(data, offs, rowCount, header(0) & 0xff, i => i, acc)
+      case ForCodec.name       => bigramFor(data, offs, rowCount, header(0) & 0xff, acc)
+      case RawCodec.name       => bigramRaw(data, offs, rowCount, acc)
+      case other =>
+        val dec = Codecs.byName(other).decoder(header)
+        var i = 0
+        while (i < rowCount) {
+          val row = dec.decode(data, offs(i), offs(i + 1))
+          var j = 1
+          while (j < row.length) { acc.add(row(j - 1), row(j), 1L); j += 1 }
+          i += 1
+        }
+    }
+    acc.result()
+  }
+
+  private def bigramFsst(st: SymTab, data: Array[Byte], offs: Array[Int],
+                         rowCount: Int, acc: BigramCounter): Unit = {
+    val flat = st.flatTokens
+    val flatOff = st.flatOffsets
+    @inline def symLen(c: Int): Int = flatOff(c + 1) - flatOff(c)
+    @inline def firstTok(c: Int): Int = flat(flatOff(c))
+    @inline def lastTok(c: Int): Int = flat(flatOff(c + 1) - 1)
+    val codeCnt = new Array[Long](256)
+    val pairCnt = new Array[Long](256 * 256)
+    var i = 0
+    while (i < rowCount) {
+      var pos = offs(i)
+      val to = offs(i + 1)
+      while ((data(pos) & 0x80) != 0) pos += 1
+      pos += 1
+      // unit cursor: previous unit is either a code (prevCode >= 0) or an
+      // escape literal (prevIsEsc); bigrams never span rows
+      var prevCode = -1
+      var prevEscTok = 0
+      var prevIsEsc = false
+      var hasPrev = false
+      while (pos < to) {
+        val b = data(pos) & 0xff
+        if (b != SymTab.EscapeCode) {
+          pos += 1
+          if (symLen(b) > 0) {
+            codeCnt(b) += 1L
+            if (hasPrev) {
+              if (prevIsEsc) acc.add(prevEscTok, firstTok(b), 1L)
+              else pairCnt((prevCode << 8) | b) += 1L
+            }
+            prevCode = b; prevIsEsc = false; hasPrev = true
+          }
+        } else {
+          pos += 1
+          var u = 0
+          var sh = 0
+          var bb = 0
+          do {
+            bb = data(pos) & 0xff; pos += 1
+            u |= (bb & 0x7f) << sh; sh += 7
+          } while ((bb & 0x80) != 0)
+          val t = (u >>> 1) ^ -(u & 1)
+          if (hasPrev) {
+            if (prevIsEsc) acc.add(prevEscTok, t, 1L)
+            else acc.add(lastTok(prevCode), t, 1L)
+          }
+          prevEscTok = t; prevIsEsc = true; hasPrev = true
+        }
+      }
+      i += 1
+    }
+    // expand: intra-symbol bigrams × code count
+    var c = 0
+    while (c < 255) {
+      val n = codeCnt(c)
+      if (n != 0L) {
+        var j = flatOff(c) + 1
+        val e = flatOff(c + 1)
+        while (j < e) { acc.add(flat(j - 1), flat(j), n); j += 1 }
+      }
+      c += 1
+    }
+    // expand: code→code boundary bigrams
+    var a = 0
+    while (a < 255) {
+      var b = 0
+      val rowBase = a << 8
+      while (b < 255) {
+        val n = pairCnt(rowBase | b)
+        if (n != 0L) acc.add(lastTok(a), firstTok(b), n)
+        b += 1
+      }
+      a += 1
+    }
+  }
+
+  private def bigramRle(data: Array[Byte], offs: Array[Int], rowCount: Int,
+                        acc: BigramCounter): Unit = {
+    var i = 0
+    while (i < rowCount) {
+      val r = new ByteReader(data, offs(i), offs(i + 1))
+      val n = r.readVarUInt()
+      var seen = 0
+      var prev = 0
+      var hasPrev = false
+      while (seen < n) {
+        val run = r.readVarUInt()
+        val v = r.readZigZag()
+        if (run > 1) acc.add(v, v, (run - 1).toLong)
+        if (hasPrev) acc.add(prev, v, 1L)
+        prev = v; hasPrev = true
+        seen += run
+      }
+      i += 1
+    }
+  }
+
+  private def bigramPacked(data: Array[Byte], offs: Array[Int], rowCount: Int,
+                           width: Int, f: Int => Int, acc: BigramCounter): Unit = {
+    var i = 0
+    while (i < rowCount) {
+      val r = new ByteReader(data, offs(i), offs(i + 1))
+      val n = r.readVarUInt()
+      if (width == 0) { if (n > 1) acc.add(f(0), f(0), (n - 1).toLong) }
+      else {
+        var acc64 = 0L
+        var nbits = 0
+        var pos = r.pos
+        val mask = if (width == 32) 0xffffffffL else (1L << width) - 1
+        var prev = 0
+        var k = 0
+        while (k < n) {
+          while (nbits < width) { acc64 |= (data(pos) & 0xffL) << nbits; pos += 1; nbits += 8 }
+          val v = f((acc64 & mask).toInt)
+          if (k > 0) acc.add(prev, v, 1L)
+          prev = v
+          acc64 >>>= width
+          nbits -= width
+          k += 1
+        }
+      }
+      i += 1
+    }
+  }
+
+  private def bigramFor(data: Array[Byte], offs: Array[Int], rowCount: Int,
+                        width: Int, acc: BigramCounter): Unit = {
+    var i = 0
+    while (i < rowCount) {
+      val r = new ByteReader(data, offs(i), offs(i + 1))
+      val n = r.readVarUInt()
+      if (n > 0) {
+        val base = r.readZigZag()
+        if (width == 0) { if (n > 1) acc.add(base, base, (n - 1).toLong) }
+        else {
+          var acc64 = 0L
+          var nbits = 0
+          var pos = r.pos
+          val mask = if (width == 32) 0xffffffffL else (1L << width) - 1
+          var prev = 0
+          var k = 0
+          while (k < n) {
+            while (nbits < width) { acc64 |= (data(pos) & 0xffL) << nbits; pos += 1; nbits += 8 }
+            val v = (acc64 & mask).toInt + base
+            if (k > 0) acc.add(prev, v, 1L)
+            prev = v
+            acc64 >>>= width
+            nbits -= width
+            k += 1
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  private def bigramRaw(data: Array[Byte], offs: Array[Int], rowCount: Int,
+                        acc: BigramCounter): Unit = {
+    var i = 0
+    while (i < rowCount) {
+      val r = new ByteReader(data, offs(i), offs(i + 1))
+      val n = r.readVarUInt()
+      var prev = 0
+      var k = 0
+      while (k < n) {
+        val v = r.readZigZag()
+        if (k > 0) acc.add(prev, v, 1L)
+        prev = v
+        k += 1
+      }
+      i += 1
+    }
+  }
+
   /** Histogram of one whole chunk, dispatched per codec. `offs` has
     * rowCount+1 entries (see Offsets.unpack).
     */

@@ -863,3 +863,70 @@ case class ChunkTokenCounts(children: Seq[Expression]) extends Expression {
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
     copy(children = cs)
 }
+
+/** Chunk-granularity BIGRAM histogram: (t1, t2, count) pairs computed in the
+  * codec's compressed domain (CountMatch.chunkBigrams) — the pair-count
+  * statistic behind BPE-style merge analysis, without decoding a row. FSST
+  * counts a 256×256 code-transition matrix + per-code occurrences and
+  * expands both once per chunk; RLE contributes (v,v)×(run−1) per run.
+  */
+case class ChunkBigramCounts(children: Seq[Expression]) extends Expression {
+  // children: data, offsets, row_count, symtab, codec, min_tok, max_tok
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t1", IntegerType, nullable = false),
+    StructField("t2", IntegerType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "chunk_bigram_counts"
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("chunkBigramCounts", this, classOf[ChunkBigramCounts].getName)
+    val evals = children.map(_.genCode(ctx))
+    val anyNull = evals.map(_.isNull).mkString(" || ")
+    val args = Seq(
+      s"(byte[]) ${evals(0).value}", s"(byte[]) ${evals(1).value}",
+      s"(int) ${evals(2).value}", s"(byte[]) ${evals(3).value}",
+      s"(org.apache.spark.unsafe.types.UTF8String) ${evals(4).value}",
+      s"(int) ${evals(5).value}", s"(int) ${evals(6).value}").mkString(", ")
+    val code =
+      code"""
+        ${evals.map(_.code).mkString("\n")}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if ($anyNull) {
+          ${ev.value} = $ref.emptyResult();
+        } else {
+          ${ev.value} = $ref.countChunk($args);
+        }
+      """
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  def emptyResult(): ArrayData = new GenericArrayData(Array.empty[Any])
+
+  override def eval(input: InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.contains(null)) emptyResult()
+    else countChunk(vals(0).asInstanceOf[Array[Byte]], vals(1).asInstanceOf[Array[Byte]],
+      vals(2).asInstanceOf[Int], vals(3).asInstanceOf[Array[Byte]],
+      vals(4).asInstanceOf[UTF8String], vals(5).asInstanceOf[Int], vals(6).asInstanceOf[Int])
+  }
+
+  def countChunk(data: Array[Byte], offBytes: Array[Byte], rowCount: Int,
+                 header: Array[Byte], codecU: UTF8String,
+                 minTok: Int, maxTok: Int): ArrayData = {
+    val offs = Offsets.unpack(offBytes, rowCount)
+    val (t1s, t2s, cnts) = CountMatch.chunkBigrams(codecU.toString, header, data,
+      offs, rowCount, minTok, maxTok)
+    val rows = new Array[Any](t1s.length)
+    var i = 0
+    while (i < t1s.length) {
+      rows(i) = new GenericInternalRow(Array[Any](t1s(i), t2s(i), cnts(i)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(children = cs)
+}

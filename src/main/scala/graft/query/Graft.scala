@@ -216,6 +216,24 @@ object Graft {
       .agg(sum(col("tc.cnt")).as("n"))
   }
 
+  /** Compressed-domain BIGRAM histogram: per-chunk (t1, t2, count) triples
+    * from CountMatch.chunkBigrams (code-transition matrix + symbol expansion
+    * for FSST; run arithmetic for RLE; packed-value cursors elsewhere),
+    * merged by groupBy(t1, t2) under partial aggregation. The pair-count
+    * table behind BPE-style merge analysis — over compressed storage, with
+    * no row decode in the plan.
+    */
+  def bigramHistogram(chunks: DataFrame): DataFrame = {
+    val bigramExpr = ChunkBigramCounts(
+      Seq(col2expr(col("data")), col2expr(col("offsets")), col2expr(col("row_count")),
+        col2expr(col("symtab")), col2expr(col("codec")),
+        col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok"))))
+    chunks
+      .select(explode(mkCol(bigramExpr)).as("bg"))
+      .groupBy(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .agg(sum(col("bg.cnt")).as("n"))
+  }
+
   /** Late materialization (the reference's decode-only-matches behavior,
     * /root/reference/sketch.cc:921-927): match on compressed bytes, then
     * decode ONLY the matching rows of each chunk. Typed facade over

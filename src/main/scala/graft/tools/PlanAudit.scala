@@ -179,6 +179,14 @@ object PlanAudit {
         "histogram partial aggregation must sit below the exchange (map-side combine)")
       println("tokenHistogram: chunk_token_counts kernel, map-side partial agg, no decode")
 
+      val bg = Graft.bigramHistogram(chunks)
+      val bp2 = bg.queryExecution.executedPlan.toString
+      require(bp2.contains("chunk_bigram_counts") && !bp2.contains("decode_row"),
+        "bigram histogram must use the compressed kernel, no decode")
+      require(bp2.substring(bp2.indexOf("Exchange")).contains("HashAggregate"),
+        "bigram partial aggregation must sit below the exchange")
+      println("bigramHistogram: chunk_bigram_counts kernel, map-side partial agg, no decode")
+
       // span dedup: ONE exchange (hash by block content), no payload columns.
       // Measured over a MATERIALIZED token table (the deployment shape) so
       // the upstream tokenization's own shuffle doesn't blur the count.

@@ -380,4 +380,24 @@ class QuerySpec extends AnyFunSuite {
     assert(want.except(gotAuto).isEmpty && gotAuto.except(want).isEmpty,
       "auto-codec compressed-domain histogram differs from decoded oracle")
   }
+
+  test("compressed-domain bigram histogram equals the decoded pair counts per codec") {
+    val wantBase = input.toDF()
+      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("i", "tok")))
+    val a = wantBase.select(col("doc_id"), col("i"), col("tok").as("t1"))
+    val b = wantBase.select(col("doc_id"), (col("i") - 1).as("i"), col("tok").as("t2"))
+    val want = a.join(b, Seq("doc_id", "i"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val table = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))).toDF()
+      val got = Graft.bigramHistogram(table)
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: compressed-domain bigram histogram differs from decoded oracle")
+    }
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)).toDF()
+    val gotAuto = Graft.bigramHistogram(auto)
+    assert(want.except(gotAuto).isEmpty && gotAuto.except(want).isEmpty,
+      "auto-codec compressed-domain bigram histogram differs from decoded oracle")
+  }
 }

@@ -297,6 +297,41 @@ object Soak {
         }, 2000)
     }
 
+    // compressed-domain bigram histogram: per-codec chunkBigrams kernels vs
+    // the decoded adjacent-pair oracle — exact (t1, t2, count) equality
+    for (codec <- Codecs.all) {
+      check(s"bigrams-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks)) { rowsL =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val header = codec.buildHeader(rows, stats)
+            val enc = codec.encoder(header)
+            val out = new ByteWriter()
+            val offs = new Array[Int](rows.length + 1)
+            rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+            val (t1s, t2s, cnts) = CountMatch.chunkBigrams(codec.name, header, out.toBytes,
+              offs, rows.length, stats.minTok, stats.maxTok)
+            val oracle = scala.collection.mutable.LongMap.empty[Long]
+            rows.foreach { r =>
+              var j = 1
+              while (j < r.length) {
+                val k = (r(j - 1).toLong << 32) | (r(j).toLong & 0xffffffffL)
+                oracle.update(k, oracle.getOrElse(k, 0L) + 1L)
+                j += 1
+              }
+            }
+            t1s.length == oracle.size && t1s.indices.forall { i =>
+              val k = (t1s(i).toLong << 32) | (t2s(i).toLong & 0xffffffffL)
+              oracle.getOrElse(k, -1L) == cnts(i)
+            }
+          }
+        }, 2000)
+    }
+
     println("SOAK OK")
   }
 }
