@@ -368,6 +368,15 @@ object Bench {
             "transform(sequence(1, size(tokens) - 1), i -> struct(tokens[i-1] AS t1, tokens[i] AS t2))")).as("bg"))
           .groupBy("bg.t1", "bg.t2").count().count())
       require(nBgC == nBgD, s"compressed bigrams disagree with decode: $nBgC/$nBgD")
+      // compressed-domain EXACT DEDUP (round 5): per-row 128-bit content
+      // hashes straight off the encoded chunks (HashMatch kernels) +
+      // groupBy(h1, h2), vs full decode + groupBy(tokens). count() =
+      // distinct documents — equality is the cross-assert (a collision at
+      // 2M rows would show up here).
+      val (nDdC, tDdC) = best(Graft.dedupExactEncoded(autoChunks).count())
+      val (nDdD, tDdD) = best(
+        EncodeJob.decodeDf(autoChunks).groupBy(col("tokens")).count().count())
+      require(nDdC == nDdD, s"encoded dedup disagrees with decode: $nDdC/$nDdD")
       dictChunks.unpersist()
       rleChunks.unpersist()
       bpChunks.unpersist()
@@ -380,7 +389,7 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sum(col("n_tok"))).collect()(0).getLong(0)
       }
 
-      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"bigram_pairs":$nBgC,"sec_bigram_compressed":$tBgC%.3f,"sec_bigram_decode_group":$tBgD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
+      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"bigram_pairs":$nBgC,"sec_bigram_compressed":$tBgC%.3f,"sec_bigram_decode_group":$tBgD%.3f,"dedup_groups":$nDdC,"sec_dedup_hash_compressed":$tDdC%.3f,"sec_dedup_decode_group":$tDdD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
     }
 
     spark.stop()

@@ -147,6 +147,18 @@ object Queries {
       .filter(size(col("tokens")).between(60, 80))
       .select(col("doc_id").cast("bigint").as("doc_id"))
 
+  /** Exact dedup computed ENTIRELY in the compressed domain: per-row 128-bit
+    * content hashes off the encoded chunks (HashMatch kernels — FSST code-
+    * fragment streaming, RLE closed-form run folds, dict/packed table
+    * loads), then groupBy(h1, h2) with min-doc-id representatives. The
+    * shuffle carries 24-byte rows regardless of document length; no decode
+    * anywhere in the plan. Same oracle as q_dedup_exact (which groups the
+    * RAW text), so the compressed path is cross-checked end to end against
+    * the decoded-domain semantics.
+    */
+  def dedupExactEncoded(spark: SparkSession, dir: String): DataFrame =
+    Graft.dedupExactEncoded(autoChunks(spark, dir))
+
   /** Vocabulary heavy hitters computed ENTIRELY in the compressed domain:
     * CountMatch per-codec kernels (FSST code-byte counting + one symbol
     * expansion per chunk, RLE run-sums, dict index counts, packed-value
@@ -282,6 +294,8 @@ object Queries {
       s"""SELECT doc_id FROM documents
          | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |           x -> x <> '')) BETWEEN 60 AND 80""".stripMargin,
+    "q_dedup_exact_encoded" ->
+      "SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups FROM documents GROUP BY text",
     "q_vocab_hist_compressed" -> OracleSql.vocabTopKSql(k = 100),
     "q_bigram_topk_compressed" -> OracleSql.bigramTopKSql(k = 100),
     "q_length_pct_encoded" -> PipelineQueries.oracles("q_length_percentiles"),
@@ -313,6 +327,7 @@ object Queries {
     "q_blocklist_tokens" -> (blocklistTokens _),
     "q_length_filter" -> (lengthFilter _),
     "q_length_pct_encoded" -> (lengthPercentilesEncoded _),
+    "q_dedup_exact_encoded" -> (dedupExactEncoded _),
     "q_vocab_hist_compressed" -> (vocabTopKCompressed _),
     "q_bigram_topk_compressed" -> (bigramTopKCompressed _),
     "q_sql_text_pushdown" -> (sqlTextPushdown _),

@@ -930,3 +930,54 @@ case class ChunkBigramCounts(children: Seq[Expression]) extends Expression {
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
     copy(children = cs)
 }
+
+/** content_hashes(doc_ids, data, offsets, row_count, symtab, codec) — lazy
+  * generator emitting one (doc_id, h1, h2) row per encoded document, where
+  * (h1, h2) is the 128-bit compressed-domain content hash of the row's
+  * decoded token sequence (HashMatch kernels: FSST code-fragment streaming,
+  * RLE closed-form run folds, dict/packed table loads — no decoded array
+  * ever materializes). Doc ids are zero-copy UTF8String views over the
+  * packed id slab; the only per-chunk allocation is 16 bytes/row of hash
+  * lanes. Downstream groupBy(h1, h2) dedups exactly while shuffling 16-byte
+  * keys instead of token payloads.
+  */
+case class ContentHashesGenerator(docIds: Expression, data: Expression,
+    offsets: Expression, rowCount: Expression, symtab: Expression, codec: Expression)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(docIds, data, offsets, rowCount, symtab, codec)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false)))
+  override def prettyName: String = "content_hashes"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ids = docIds.eval(input).asInstanceOf[Array[Byte]]
+    val bytes = data.eval(input).asInstanceOf[Array[Byte]]
+    val rows = rowCount.eval(input).asInstanceOf[Int]
+    if (rows == 0) return Iterator.empty
+    val offs = Offsets.unpack(offsets.eval(input).asInstanceOf[Array[Byte]], rows)
+    val header = symtab.eval(input).asInstanceOf[Array[Byte]]
+    val codecName = codec.eval(input).asInstanceOf[UTF8String].toString
+    val (h1, h2) = HashMatch.chunkRowHashes(codecName, header, bytes, offs, rows)
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var p = 0 // cursor into the packed id slab (varint len + bytes)
+      def hasNext: Boolean = i < rows
+      def next(): InternalRow = {
+        var len = 0; var shift = 0; var b = 0
+        do {
+          b = ids(p) & 0xff; p += 1
+          len |= (b & 0x7f) << shift; shift += 7
+        } while ((b & 0x80) != 0)
+        val id = UTF8String.fromBytes(ids, p, len)
+        p += len
+        val out = new GenericInternalRow(Array[Any](id, h1(i), h2(i)))
+        i += 1
+        out
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
+      symtab = cs(4), codec = cs(5))
+}

@@ -157,6 +157,35 @@ object Graft {
       .withColumn("tokens", decodeRow(col("enc"), col("symtab"), col("codec")))
   }
 
+  /** Per-document 128-bit content hashes straight off the encoded chunks
+    * (HashMatch kernels — no row decode in the plan): columns
+    * (doc_id, source, h1, h2). The dedup-ready projection of a compressed
+    * table: downstream exact dedup shuffles 16-byte keys, never payloads.
+    */
+  def contentHashes(chunks: DataFrame): DataFrame = {
+    chunks
+      .select(col("source"),
+        mkCol(ContentHashesGenerator(col2expr(col("doc_ids")), col2expr(col("data")),
+          col2expr(col("offsets")), col2expr(col("row_count")),
+          col2expr(col("symtab")), col2expr(col("codec")))))
+      .select(col("doc_id"), col("source"), col("h1"), col("h2"))
+  }
+
+  /** Exact dedup over the ENCODED table: group documents by compressed-domain
+    * content hash; per group the representative is the minimum doc id
+    * (string min, matching Dedup.exact's decoded-domain semantics so the two
+    * paths share one oracle). Equivalent to grouping by the decoded token
+    * array — the 128-bit key's collision probability at 10^12 rows is
+    * ≈4·10^-16 — but the shuffle carries (h1, h2, doc_id): exact dedup of a
+    * 100-TB corpus without decompressing a row.
+    */
+  def dedupExactEncoded(chunks: DataFrame): DataFrame = {
+    contentHashes(chunks)
+      .groupBy(col("h1"), col("h2"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_dups"))
+      .select(col("rep").cast("bigint").as("rep_doc_id"), col("n_dups"))
+  }
+
   /** The fast scan path: chunk-granularity pattern match returning matching
     * doc_ids, with bloom-based whole-chunk skipping. One expression eval per
     * chunk ≈ one Engine::Scan per block in the reference.

@@ -400,4 +400,27 @@ class QuerySpec extends AnyFunSuite {
     assert(want.except(gotAuto).isEmpty && gotAuto.except(want).isEmpty,
       "auto-codec compressed-domain bigram histogram differs from decoded oracle")
   }
+
+  test("compressed-domain exact dedup equals decoded-domain dedup per codec") {
+    val want = input.toDF()
+      .groupBy(col("tokens"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_dups"))
+      .select(col("rep").cast("bigint").as("rep_doc_id"), col("n_dups"))
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val table = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))).toDF()
+      val got = Graft.dedupExactEncoded(table)
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: encoded-domain dedup differs from decoded-domain dedup")
+    }
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)).toDF()
+    val gotAuto = Graft.dedupExactEncoded(auto)
+    assert(want.except(gotAuto).isEmpty && gotAuto.except(want).isEmpty,
+      "auto-codec encoded-domain dedup differs from decoded-domain dedup")
+    // plan shape: the hash path never decodes a row — content_hashes
+    // generates straight off the slabs, so decode_row must be absent
+    val plan = Graft.contentHashes(auto).queryExecution.optimizedPlan.toString()
+    assert(plan.contains("content_hashes"), plan)
+    assert(!plan.contains("decode_row"), plan)
+  }
 }

@@ -297,6 +297,54 @@ object Soak {
         }, 2000)
     }
 
+    // compressed-domain content hash: per-codec HashMatch kernels vs the
+    // decoded-array reference hash — bit-identical 128-bit lanes per row
+    // (exercises the FSST code-fragment precompute, the RLE closed-form
+    // run fold, and the packed-value cursors)
+    for (codec <- Codecs.all) {
+      check(s"hashes-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks)) { rowsL =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val header = codec.buildHeader(rows, stats)
+            val enc = codec.encoder(header)
+            val out = new ByteWriter()
+            val offs = new Array[Int](rows.length + 1)
+            rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+            val (h1, h2) = HashMatch.chunkRowHashes(codec.name, header, out.toBytes,
+              offs, rows.length)
+            rows.indices.forall { i =>
+              h1(i) == HashMatch.hashTokens1(rows(i), 0, rows(i).length) &&
+                h2(i) == HashMatch.hashTokens2(rows(i), 0, rows(i).length)
+            }
+          }
+        }, 2000)
+    }
+
+    // RLE closed-form fold at LARGE run lengths (the O(log r) square-and-
+    // multiply path; genToks runs are short, so exercise r up to 100k)
+    check("hashes-rle-long-runs", Prop.forAll(
+      Gen.listOfN(4, Gen.choose(1, 6).flatMap(nr =>
+        Gen.listOfN(nr, Gen.zip(Gen.choose(1, 100000), Gen.choose(-3, 3)))
+          .map(_.flatMap { case (r, v) => Array.fill(r)(v) }.toArray)))) { rowsL =>
+      val rows = rowsL.toIndexedSeq
+      val header = RleCodec.buildHeader(rows, ChunkStats.compute(rows))
+      val enc = RleCodec.encoder(header)
+      val out = new ByteWriter()
+      val offs = new Array[Int](rows.length + 1)
+      rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+      val (h1, h2) = HashMatch.chunkRowHashes(RleCodec.name, header, out.toBytes,
+        offs, rows.length)
+      rows.indices.forall { i =>
+        h1(i) == HashMatch.hashTokens1(rows(i), 0, rows(i).length) &&
+          h2(i) == HashMatch.hashTokens2(rows(i), 0, rows(i).length)
+      }
+    }, 200)
+
     // compressed-domain bigram histogram: per-codec chunkBigrams kernels vs
     // the decoded adjacent-pair oracle — exact (t1, t2, count) equality
     for (codec <- Codecs.all) {
