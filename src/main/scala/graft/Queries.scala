@@ -159,6 +159,38 @@ object Queries {
   def dedupExactEncoded(spark: SparkSession, dir: String): DataFrame =
     Graft.dedupExactEncoded(autoChunks(spark, dir))
 
+  /** MinHash + LSH near-dup pairs computed over the ENCODED table: shingle
+    * sets and signatures stream off the compressed chunks (MinHashMatch
+    * rolling-window kernels over every codec's wire format); banding and
+    * exact-Jaccard confirmation are the decoded path's own code. Same
+    * oracle as q_dedup_minhash — near-dedup without decompressing the
+    * corpus, cross-checked against the decoded-domain plan end to end.
+    */
+  def dedupMinhashEncoded(spark: SparkSession, dir: String): DataFrame = {
+    // The encoded table's doc_id is a string, so the pair orientation out of
+    // lshConfirmPairs is lexicographic ("134" < "87"); the oracle (and the
+    // decoded path over this dataset's bigint ids) orders numerically.
+    // Counts are symmetric, so re-orient after the cast.
+    val a = col("doc_a").cast("bigint"); val b = col("doc_b").cast("bigint")
+    Graft.dedupMinhashEncoded(autoChunks(spark, dir), tau = 0.7)
+      .select(least(a, b).as("doc_a"), greatest(a, b).as("doc_b"),
+        col("inter_cnt"), col("union_cnt"))
+  }
+
+  /** SimHash near-dup pairs computed over the ENCODED table: 64-bit
+    * signatures stream off the compressed chunks (SimHashMatch unigram
+    * majority votes, RLE runs folded); banding and exact-Hamming
+    * confirmation are the decoded path's own code. Same oracle as
+    * q_dedup_simhash — near-dedup without decompressing the corpus.
+    */
+  def dedupSimhashEncoded(spark: SparkSession, dir: String): DataFrame = {
+    // Same re-orientation as dedupMinhashEncoded: string doc_ids order
+    // lexicographically, the oracle numerically; hamming is symmetric.
+    val a = col("doc_a").cast("bigint"); val b = col("doc_b").cast("bigint")
+    Graft.dedupSimhashEncoded(autoChunks(spark, dir), maxHamming = 3)
+      .select(least(a, b).as("doc_a"), greatest(a, b).as("doc_b"), col("hamming"))
+  }
+
   /** Vocabulary heavy hitters computed ENTIRELY in the compressed domain:
     * CountMatch per-codec kernels (FSST code-byte counting + one symbol
     * expansion per chunk, RLE run-sums, dict index counts, packed-value
@@ -296,6 +328,8 @@ object Queries {
          |           x -> x <> '')) BETWEEN 60 AND 80""".stripMargin,
     "q_dedup_exact_encoded" ->
       "SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups FROM documents GROUP BY text",
+    "q_dedup_minhash_encoded" -> PipelineQueries.oracles("q_dedup_minhash"),
+    "q_dedup_simhash_encoded" -> PipelineQueries.oracles("q_dedup_simhash"),
     "q_vocab_hist_compressed" -> OracleSql.vocabTopKSql(k = 100),
     "q_bigram_topk_compressed" -> OracleSql.bigramTopKSql(k = 100),
     "q_length_pct_encoded" -> PipelineQueries.oracles("q_length_percentiles"),
@@ -328,6 +362,8 @@ object Queries {
     "q_length_filter" -> (lengthFilter _),
     "q_length_pct_encoded" -> (lengthPercentilesEncoded _),
     "q_dedup_exact_encoded" -> (dedupExactEncoded _),
+    "q_dedup_minhash_encoded" -> (dedupMinhashEncoded _),
+    "q_dedup_simhash_encoded" -> (dedupSimhashEncoded _),
     "q_vocab_hist_compressed" -> (vocabTopKCompressed _),
     "q_bigram_topk_compressed" -> (bigramTopKCompressed _),
     "q_sql_text_pushdown" -> (sqlTextPushdown _),

@@ -76,11 +76,21 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, shingleN: Int = 3, numHashes: Int = 64,
                       bands: Int = 16, tau: Double = 0.7, seed: Long = 42L): DataFrame = {
-    val r = numHashes / bands
     val g = docs.filter(col("n_tok") >= shingleN)
       .select(col("doc_id"),
         shingleHashes(col("tokens"), shingleN).as("grams"))
       .withColumn("sig", minhashSig(col("grams"), numHashes, seed))
+    lshConfirmPairs(g, numHashes, bands, tau)
+  }
+
+  /** Banding + exact-Jaccard confirmation over a prepared
+    * (doc_id, grams, sig) frame — shared by the decoded-domain path above
+    * and the compressed-domain path (query/Graft.dedupMinhashEncoded), so
+    * the two differ ONLY in where the signatures come from.
+    */
+  private[graft] def lshConfirmPairs(g: DataFrame, numHashes: Int,
+                                     bands: Int, tau: Double): DataFrame = {
+    val r = numHashes / bands
     // Candidate generation moves ONLY (doc_id, band, band-hash): the gram
     // payload must not ride the `bands`-way explode through the bucket
     // shuffle (a 16× shuffle-bytes amplification at scale — round-2 verdict).
@@ -110,9 +120,17 @@ object Dedup {
     * buckets (any pair within Hamming distance ≤3 shares at least one intact
     * band by pigeonhole), confirmed by exact Hamming distance.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashConfirmPairs(
+      docs.select(col("doc_id"), simhash64(col("tokens")).as("sig")), maxHamming)
+
+  /** Banding + exact-Hamming confirmation over a prepared (doc_id, sig)
+    * frame — shared by the decoded-domain path above and the
+    * compressed-domain path (query/Graft.dedupSimhashEncoded), so the two
+    * differ ONLY in where the 64-bit signatures come from.
+    */
+  private[graft] def simhashConfirmPairs(g: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole covers Hamming distance <= 3")
-    val g = docs.select(col("doc_id"), simhash64(col("tokens")).as("sig"))
     val bandCols = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)

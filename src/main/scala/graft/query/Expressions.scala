@@ -981,3 +981,123 @@ case class ContentHashesGenerator(docIds: Expression, data: Expression,
     copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
       symtab = cs(4), codec = cs(5))
 }
+
+/** minhash_rows(doc_ids, data, offsets, row_count, symtab, codec) — lazy
+  * generator emitting one (doc_id, grams?, sig) row per encoded document
+  * with at least `shingleN` tokens, where sig is the k-permutation MinHash
+  * signature and grams the sorted distinct shingle-hash set, both computed
+  * by streaming the codec's wire format through a rolling window
+  * (core/MinHashMatch) — bit-identical to ShingleHashes + MinHashSig on the
+  * decoded array, with no decoded array in the plan. Rows shorter than the
+  * shingle length are dropped here, mirroring the decoded path's
+  * `n_tok >= shingleN` filter (their all-sentinel signatures would
+  * otherwise band every short row with every other short row).
+  * With collectGrams=false the grams column is an empty array per row —
+  * sig-only callers skip the O(n_tok) gram allocation entirely.
+  */
+case class MinHashRowsGenerator(docIds: Expression, data: Expression,
+    offsets: Expression, rowCount: Expression, symtab: Expression, codec: Expression,
+    shingleN: Int, numHashes: Int, seed: Long, collectGrams: Boolean)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(docIds, data, offsets, rowCount, symtab, codec)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("grams", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "minhash_rows"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ids = docIds.eval(input).asInstanceOf[Array[Byte]]
+    val bytes = data.eval(input).asInstanceOf[Array[Byte]]
+    val rows = rowCount.eval(input).asInstanceOf[Int]
+    if (rows == 0) return Iterator.empty
+    val offs = Offsets.unpack(offsets.eval(input).asInstanceOf[Array[Byte]], rows)
+    val header = symtab.eval(input).asInstanceOf[Array[Byte]]
+    val codecName = codec.eval(input).asInstanceOf[UTF8String].toString
+    val (grams, sigs, nToks) = MinHashMatch.chunkRowSigs(codecName, header, bytes,
+      offs, rows, shingleN, numHashes, seed, collectGrams)
+    val empty = UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var p = 0 // cursor into the packed id slab (varint len + bytes)
+      private var nextRow: InternalRow = advance()
+      private def advance(): InternalRow = {
+        while (i < rows) {
+          var len = 0; var shift = 0; var b = 0
+          do {
+            b = ids(p) & 0xff; p += 1
+            len |= (b & 0x7f) << shift; shift += 7
+          } while ((b & 0x80) != 0)
+          val id = UTF8String.fromBytes(ids, p, len)
+          p += len
+          val row = i
+          i += 1
+          if (nToks(row) >= shingleN) {
+            val g = if (collectGrams) UnsafeArrayData.fromPrimitiveArray(grams(row)) else empty
+            return new GenericInternalRow(Array[Any](id, g,
+              UnsafeArrayData.fromPrimitiveArray(sigs(row))))
+          }
+        }
+        null
+      }
+      def hasNext: Boolean = nextRow != null
+      def next(): InternalRow = {
+        val out = nextRow
+        nextRow = advance()
+        out
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
+      symtab = cs(4), codec = cs(5))
+}
+
+/** simhash_rows(doc_ids, data, offsets, row_count, symtab, codec) — lazy
+  * generator emitting one (doc_id, sig) row per encoded document, where sig
+  * is the 64-bit unigram SimHash computed by streaming the codec's wire
+  * format through the majority-vote accumulator (core/SimHashMatch) —
+  * bit-identical to SimHash64 on the decoded array, with no decoded array
+  * in the plan. Every row is emitted (the decoded path applies no length
+  * filter; an empty row hashes to 0 on both paths). Doc ids are zero-copy
+  * UTF8String views over the packed id slab; the only per-chunk allocation
+  * is 8 bytes/row of signatures.
+  */
+case class SimHashRowsGenerator(docIds: Expression, data: Expression,
+    offsets: Expression, rowCount: Expression, symtab: Expression, codec: Expression)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(docIds, data, offsets, rowCount, symtab, codec)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("sig", LongType, nullable = false)))
+  override def prettyName: String = "simhash_rows"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ids = docIds.eval(input).asInstanceOf[Array[Byte]]
+    val bytes = data.eval(input).asInstanceOf[Array[Byte]]
+    val rows = rowCount.eval(input).asInstanceOf[Int]
+    if (rows == 0) return Iterator.empty
+    val offs = Offsets.unpack(offsets.eval(input).asInstanceOf[Array[Byte]], rows)
+    val header = symtab.eval(input).asInstanceOf[Array[Byte]]
+    val codecName = codec.eval(input).asInstanceOf[UTF8String].toString
+    val sigs = SimHashMatch.chunkRowSigs(codecName, header, bytes, offs, rows)
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var p = 0 // cursor into the packed id slab (varint len + bytes)
+      def hasNext: Boolean = i < rows
+      def next(): InternalRow = {
+        var len = 0; var shift = 0; var b = 0
+        do {
+          b = ids(p) & 0xff; p += 1
+          len |= (b & 0x7f) << shift; shift += 7
+        } while ((b & 0x80) != 0)
+        val id = UTF8String.fromBytes(ids, p, len)
+        p += len
+        val out = new GenericInternalRow(Array[Any](id, sigs(i)))
+        i += 1
+        out
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
+      symtab = cs(4), codec = cs(5))
+}

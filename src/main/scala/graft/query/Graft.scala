@@ -186,6 +186,53 @@ object Graft {
       .select(col("rep").cast("bigint").as("rep_doc_id"), col("n_dups"))
   }
 
+  /** Per-document MinHash signatures (and optionally shingle-hash sets)
+    * straight off the encoded chunks: columns (doc_id, grams, sig). Rows
+    * shorter than shingleN are dropped (their sentinel signatures carry no
+    * similarity signal — same filter as the decoded path). No decoded token
+    * array or shingle explode appears anywhere in the plan.
+    */
+  def minhashRowsEncoded(chunks: DataFrame, shingleN: Int, numHashes: Int,
+                         seed: Long, collectGrams: Boolean = true): DataFrame =
+    chunks.select(
+      mkCol(MinHashRowsGenerator(col2expr(col("doc_ids")), col2expr(col("data")),
+        col2expr(col("offsets")), col2expr(col("row_count")),
+        col2expr(col("symtab")), col2expr(col("codec")),
+        shingleN, numHashes, seed, collectGrams)))
+
+  /** MinHash + LSH near-duplicate pairs over the ENCODED table: signatures
+    * stream off the compressed chunks (MinHashMatch), then the banding +
+    * exact-Jaccard confirmation is literally the decoded path's code
+    * (Dedup.lshConfirmPairs) — identical pairs, but the corpus is never
+    * decompressed. At 100 TB the scan side reads compressed chunk blobs
+    * (~1.4 B/token) instead of decoded arrays, and the only per-doc state
+    * shuffled before confirmation is (doc_id, band, band-hash).
+    */
+  def dedupMinhashEncoded(chunks: DataFrame, shingleN: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16, tau: Double = 0.7, seed: Long = 42L): DataFrame =
+    graft.pipeline.Dedup.lshConfirmPairs(
+      minhashRowsEncoded(chunks, shingleN, numHashes, seed), numHashes, bands, tau)
+
+  /** Per-document 64-bit SimHash signatures straight off the encoded
+    * chunks: columns (doc_id, sig). No decoded token array in the plan;
+    * RLE runs fold to one mix64 + 64 adds per run.
+    */
+  def simhashRowsEncoded(chunks: DataFrame): DataFrame =
+    chunks.select(
+      mkCol(SimHashRowsGenerator(col2expr(col("doc_ids")), col2expr(col("data")),
+        col2expr(col("offsets")), col2expr(col("row_count")),
+        col2expr(col("symtab")), col2expr(col("codec")))))
+
+  /** SimHash near-duplicate pairs over the ENCODED table: signatures stream
+    * off the compressed chunks (SimHashMatch), then banding + exact-Hamming
+    * confirmation is literally the decoded path's code
+    * (Dedup.simhashConfirmPairs) — identical pairs, corpus never
+    * decompressed. The only per-doc state before confirmation is
+    * (doc_id, sig, band, band-hash) — ≤32 bytes/doc through the shuffle.
+    */
+  def dedupSimhashEncoded(chunks: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.pipeline.Dedup.simhashConfirmPairs(simhashRowsEncoded(chunks), maxHamming)
+
   /** The fast scan path: chunk-granularity pattern match returning matching
     * doc_ids, with bloom-based whole-chunk skipping. One expression eval per
     * chunk ≈ one Engine::Scan per block in the reference.

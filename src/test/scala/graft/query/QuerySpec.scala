@@ -423,4 +423,44 @@ class QuerySpec extends AnyFunSuite {
     assert(plan.contains("content_hashes"), plan)
     assert(!plan.contains("decode_row"), plan)
   }
+
+  test("compressed-domain minhash LSH pairs equal the decoded-domain pairs per codec") {
+    val want = graft.pipeline.Dedup.minhashLshPairs(input.toDF(), tau = 0.7)
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val table = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))).toDF()
+      val got = Graft.dedupMinhashEncoded(table, tau = 0.7)
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: encoded-domain minhash pairs differ from decoded-domain pairs")
+    }
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)).toDF()
+    val gotAuto = Graft.dedupMinhashEncoded(auto, tau = 0.7)
+    assert(want.except(gotAuto).isEmpty && gotAuto.except(want).isEmpty,
+      "auto-codec encoded-domain minhash pairs differ from decoded-domain pairs")
+    // plan shape: signatures come from the minhash_rows generator; no row
+    // decode and no shingle_hashes-on-decoded-arrays anywhere in the plan
+    val plan = Graft.dedupMinhashEncoded(auto, tau = 0.7)
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("minhash_rows"), plan)
+    assert(!plan.contains("decode_row"), plan)
+  }
+
+  test("compressed-domain simhash pairs equal the decoded-domain pairs per codec") {
+    val want = graft.pipeline.Dedup.simhashPairs(input.toDF(), maxHamming = 3)
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val table = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))).toDF()
+      val got = Graft.dedupSimhashEncoded(table, maxHamming = 3)
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: encoded-domain simhash pairs differ from decoded-domain pairs")
+    }
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)).toDF()
+    val gotAuto = Graft.dedupSimhashEncoded(auto, maxHamming = 3)
+    assert(want.except(gotAuto).isEmpty && gotAuto.except(want).isEmpty,
+      "auto-codec encoded-domain simhash pairs differ from decoded-domain pairs")
+    val plan = Graft.dedupSimhashEncoded(auto, maxHamming = 3)
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("simhash_rows"), plan)
+    assert(!plan.contains("decode_row"), plan)
+  }
 }

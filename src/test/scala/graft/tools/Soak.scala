@@ -345,6 +345,113 @@ object Soak {
       }
     }, 200)
 
+    // compressed-domain minhash: per-codec rolling-window kernels vs the
+    // ShingleHashes + MinHashSig expressions on the decoded array — gram
+    // sets and every signature lane bit-identical (exercises the RLE
+    // saturated-window fold and the FSST symbol-run feed)
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+      def mhOracle(toks: Array[Int], n: Int, k: Int, seed: Long): (Array[Long], Array[Long]) = {
+        val lit = Literal.create(toks, ArrayType(IntegerType, containsNull = false))
+        val grams = graft.pipeline.ShingleHashes(lit, n)
+          .eval(null).asInstanceOf[ArrayData].toLongArray()
+        val sig = graft.pipeline.MinHashSig(
+            Literal.create(grams, ArrayType(LongType, containsNull = false)), k, seed)
+          .eval(null).asInstanceOf[ArrayData].toLongArray()
+        (grams, sig)
+      }
+      for (codec <- Codecs.all) {
+        check(s"minhash-vs-oracle-${codec.name}",
+          Prop.forAll(Gen.listOfN(12, genToks), Gen.choose(1, 5)) { (rowsL, n) =>
+            val rows = rowsL.toIndexedSeq
+            val stats = ChunkStats.compute(rows)
+            val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+              !((codec eq BitPackCodec) && stats.minTok < 0)
+            if (!eligible) true
+            else {
+              val header = codec.buildHeader(rows, stats)
+              val enc = codec.encoder(header)
+              val out = new ByteWriter()
+              val offs = new Array[Int](rows.length + 1)
+              rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+              val (grams, sigs, nToks) = MinHashMatch.chunkRowSigs(codec.name, header,
+                out.toBytes, offs, rows.length, n, 8, 42L, collectGrams = true)
+              rows.indices.forall { i =>
+                val (og, os) = mhOracle(rows(i), n, 8, 42L)
+                nToks(i) == rows(i).length &&
+                  java.util.Arrays.equals(grams(i), og) &&
+                  java.util.Arrays.equals(sigs(i), os)
+              }
+            }
+          }, 1000)
+      }
+      // compressed-domain simhash: per-codec unigram majority-vote kernels
+      // vs the SimHash64 expression on the decoded array (exercises the RLE
+      // ±r run fold and the FSST symbol-run feed)
+      def shOracle(toks: Array[Int]): Long = {
+        val lit = Literal.create(toks, ArrayType(IntegerType, containsNull = false))
+        graft.pipeline.SimHash64(lit).eval(null).asInstanceOf[Long]
+      }
+      for (codec <- Codecs.all) {
+        check(s"simhash-vs-oracle-${codec.name}",
+          Prop.forAll(Gen.listOfN(12, genToks)) { rowsL =>
+            val rows = rowsL.toIndexedSeq
+            val stats = ChunkStats.compute(rows)
+            val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+              !((codec eq BitPackCodec) && stats.minTok < 0)
+            if (!eligible) true
+            else {
+              val header = codec.buildHeader(rows, stats)
+              val enc = codec.encoder(header)
+              val out = new ByteWriter()
+              val offs = new Array[Int](rows.length + 1)
+              rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+              val sigs = SimHashMatch.chunkRowSigs(codec.name, header,
+                out.toBytes, offs, rows.length)
+              rows.indices.forall(i => sigs(i) == shOracle(rows(i)))
+            }
+          }, 1000)
+      }
+      // simhash RLE ±r fold at LARGE run lengths
+      check("simhash-rle-long-runs", Prop.forAll(
+        Gen.listOfN(3, Gen.choose(1, 6).flatMap(nr =>
+          Gen.listOfN(nr, Gen.zip(Gen.choose(1, 100000), Gen.choose(-3, 3)))
+            .map(_.flatMap { case (r, v) => Array.fill(r)(v) }.toArray)))) { rowsL =>
+        val rows = rowsL.toIndexedSeq
+        val header = RleCodec.buildHeader(rows, ChunkStats.compute(rows))
+        val enc = RleCodec.encoder(header)
+        val out = new ByteWriter()
+        val offs = new Array[Int](rows.length + 1)
+        rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+        val sigs = SimHashMatch.chunkRowSigs(RleCodec.name, header,
+          out.toBytes, offs, rows.length)
+        rows.indices.forall(i => sigs(i) == shOracle(rows(i)))
+      }, 100)
+
+      // RLE saturated-window fold at LARGE run lengths (a run of r costs
+      // min(r, n) feeds — prove the skipped feeds change nothing)
+      check("minhash-rle-long-runs", Prop.forAll(
+        Gen.listOfN(3, Gen.choose(1, 6).flatMap(nr =>
+          Gen.listOfN(nr, Gen.zip(Gen.choose(1, 100000), Gen.choose(-3, 3)))
+            .map(_.flatMap { case (r, v) => Array.fill(r)(v) }.toArray))),
+        Gen.choose(1, 5)) { (rowsL, n) =>
+        val rows = rowsL.toIndexedSeq
+        val header = RleCodec.buildHeader(rows, ChunkStats.compute(rows))
+        val enc = RleCodec.encoder(header)
+        val out = new ByteWriter()
+        val offs = new Array[Int](rows.length + 1)
+        rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+        val (grams, sigs, _) = MinHashMatch.chunkRowSigs(RleCodec.name, header,
+          out.toBytes, offs, rows.length, n, 8, 42L, collectGrams = true)
+        rows.indices.forall { i =>
+          val (og, os) = mhOracle(rows(i), n, 8, 42L)
+          java.util.Arrays.equals(grams(i), og) && java.util.Arrays.equals(sigs(i), os)
+        }
+      }, 100)
+    }
+
     // compressed-domain bigram histogram: per-codec chunkBigrams kernels vs
     // the decoded adjacent-pair oracle — exact (t1, t2, count) equality
     for (codec <- Codecs.all) {
