@@ -191,6 +191,19 @@ object Queries {
       .select(least(a, b).as("doc_a"), greatest(a, b).as("doc_b"), col("hamming"))
   }
 
+  /** Winnowing fingerprint-sharing pairs computed over the ENCODED table:
+    * signatures stream off the compressed chunks (WinnowMatch rolling
+    * k-grams + sliding window minima); the inverted-index self-join is the
+    * decoded path's own code. Same oracle as q_fingerprint_pairs.
+    */
+  def fingerprintPairsEncoded(spark: SparkSession, dir: String): DataFrame = {
+    // Same re-orientation as dedupMinhashEncoded: string doc_ids order
+    // lexicographically, the oracle numerically; shared counts are symmetric.
+    val a = col("doc_a").cast("bigint"); val b = col("doc_b").cast("bigint")
+    Graft.fingerprintPairsEncoded(autoChunks(spark, dir))
+      .select(least(a, b).as("doc_a"), greatest(a, b).as("doc_b"), col("shared"))
+  }
+
   /** Vocabulary heavy hitters computed ENTIRELY in the compressed domain:
     * CountMatch per-codec kernels (FSST code-byte counting + one symbol
     * expansion per chunk, RLE run-sums, dict index counts, packed-value
@@ -330,6 +343,7 @@ object Queries {
       "SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups FROM documents GROUP BY text",
     "q_dedup_minhash_encoded" -> PipelineQueries.oracles("q_dedup_minhash"),
     "q_dedup_simhash_encoded" -> PipelineQueries.oracles("q_dedup_simhash"),
+    "q_fingerprint_pairs_encoded" -> PipelineQueries.oracles("q_fingerprint_pairs"),
     "q_vocab_hist_compressed" -> OracleSql.vocabTopKSql(k = 100),
     "q_bigram_topk_compressed" -> OracleSql.bigramTopKSql(k = 100),
     "q_length_pct_encoded" -> PipelineQueries.oracles("q_length_percentiles"),
@@ -364,6 +378,7 @@ object Queries {
     "q_dedup_exact_encoded" -> (dedupExactEncoded _),
     "q_dedup_minhash_encoded" -> (dedupMinhashEncoded _),
     "q_dedup_simhash_encoded" -> (dedupSimhashEncoded _),
+    "q_fingerprint_pairs_encoded" -> (fingerprintPairsEncoded _),
     "q_vocab_hist_compressed" -> (vocabTopKCompressed _),
     "q_bigram_topk_compressed" -> (bigramTopKCompressed _),
     "q_sql_text_pushdown" -> (sqlTextPushdown _),

@@ -146,9 +146,17 @@ object TextAnalysis {
     * evidence is a ubiquitous fingerprint — precision is unaffected.
     */
   def fingerprintPairs(docs: DataFrame, k: Int = 5, w: Int = 4, minShared: Int = 2,
-                       maxPostings: Option[Int] = None): DataFrame = {
-    val fp0 = fingerprints(docs, k, w)
-      .select(col("doc_id"), explode(col("fingerprint")).as("fp"))
+                       maxPostings: Option[Int] = None): DataFrame =
+    fingerprintConfirmPairs(fingerprints(docs, k, w), minShared, maxPostings)
+
+  /** Explode + self-join + shared-count over a prepared (doc_id, fingerprint)
+    * frame — shared by the decoded-domain path above and the
+    * compressed-domain path (query/Graft.fingerprintPairsEncoded), so the
+    * two differ ONLY in where the fingerprints come from.
+    */
+  private[graft] def fingerprintConfirmPairs(fps: DataFrame, minShared: Int,
+                                             maxPostings: Option[Int]): DataFrame = {
+    val fp0 = fps.select(col("doc_id"), explode(col("fingerprint")).as("fp"))
     val fp = maxPostings match {
       case None => fp0
       case Some(cap) =>

@@ -1101,3 +1101,54 @@ case class SimHashRowsGenerator(docIds: Expression, data: Expression,
     copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
       symtab = cs(4), codec = cs(5))
 }
+
+/** winnow_rows(doc_ids, data, offsets, row_count, symtab, codec) — lazy
+  * generator emitting one (doc_id, fingerprint) row per encoded document,
+  * where fingerprint is the winnowing document signature (k-gram rolling
+  * hashes, minimum per window of w, distinct sorted) computed by streaming
+  * the codec's wire format through core/WinnowMatch — bit-identical to
+  * WinnowFingerprint on the decoded array, with no decoded array in the
+  * plan. Rows shorter than the gram length get an empty fingerprint, same
+  * as the decoded expression (the downstream explode drops them).
+  */
+case class WinnowRowsGenerator(docIds: Expression, data: Expression,
+    offsets: Expression, rowCount: Expression, symtab: Expression, codec: Expression,
+    k: Int, w: Int)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(docIds, data, offsets, rowCount, symtab, codec)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("fingerprint", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "winnow_rows"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ids = docIds.eval(input).asInstanceOf[Array[Byte]]
+    val bytes = data.eval(input).asInstanceOf[Array[Byte]]
+    val rows = rowCount.eval(input).asInstanceOf[Int]
+    if (rows == 0) return Iterator.empty
+    val offs = Offsets.unpack(offsets.eval(input).asInstanceOf[Array[Byte]], rows)
+    val header = symtab.eval(input).asInstanceOf[Array[Byte]]
+    val codecName = codec.eval(input).asInstanceOf[UTF8String].toString
+    val fps = WinnowMatch.chunkRowFingerprints(codecName, header, bytes, offs, rows, k, w)
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var p = 0 // cursor into the packed id slab (varint len + bytes)
+      def hasNext: Boolean = i < rows
+      def next(): InternalRow = {
+        var len = 0; var shift = 0; var b = 0
+        do {
+          b = ids(p) & 0xff; p += 1
+          len |= (b & 0x7f) << shift; shift += 7
+        } while ((b & 0x80) != 0)
+        val id = UTF8String.fromBytes(ids, p, len)
+        p += len
+        val out = new GenericInternalRow(Array[Any](id,
+          UnsafeArrayData.fromPrimitiveArray(fps(i))))
+        i += 1
+        out
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
+      symtab = cs(4), codec = cs(5))
+}

@@ -233,6 +233,27 @@ object Graft {
   def dedupSimhashEncoded(chunks: DataFrame, maxHamming: Int = 3): DataFrame =
     graft.pipeline.Dedup.simhashConfirmPairs(simhashRowsEncoded(chunks), maxHamming)
 
+  /** Per-document winnowing fingerprints straight off the encoded chunks:
+    * columns (doc_id, fingerprint). No decoded token array in the plan.
+    */
+  def winnowRowsEncoded(chunks: DataFrame, k: Int, w: Int): DataFrame =
+    chunks.select(
+      mkCol(WinnowRowsGenerator(col2expr(col("doc_ids")), col2expr(col("data")),
+        col2expr(col("offsets")), col2expr(col("row_count")),
+        col2expr(col("symtab")), col2expr(col("codec")), k, w)))
+
+  /** Fingerprint-sharing pairs over the ENCODED table: winnowing signatures
+    * stream off the compressed chunks (WinnowMatch), then the explode +
+    * self-join + shared-count is literally the decoded path's code
+    * (TextAnalysis.fingerprintConfirmPairs) — identical pairs, corpus never
+    * decompressed.
+    */
+  def fingerprintPairsEncoded(chunks: DataFrame, k: Int = 5, w: Int = 4,
+                              minShared: Int = 2,
+                              maxPostings: Option[Int] = None): DataFrame =
+    graft.pipeline.TextAnalysis.fingerprintConfirmPairs(
+      winnowRowsEncoded(chunks, k, w), minShared, maxPostings)
+
   /** The fast scan path: chunk-granularity pattern match returning matching
     * doc_ids, with bloom-based whole-chunk skipping. One expression eval per
     * chunk ≈ one Engine::Scan per block in the reference.

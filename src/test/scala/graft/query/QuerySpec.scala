@@ -463,4 +463,23 @@ class QuerySpec extends AnyFunSuite {
     assert(plan.contains("simhash_rows"), plan)
     assert(!plan.contains("decode_row"), plan)
   }
+
+  test("compressed-domain winnowing pairs equal the decoded-domain pairs per codec") {
+    val want = graft.pipeline.TextAnalysis.fingerprintPairs(input.toDF())
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val table = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))).toDF()
+      val got = Graft.fingerprintPairsEncoded(table)
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: encoded-domain winnowing pairs differ from decoded-domain pairs")
+    }
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)).toDF()
+    val gotAuto = Graft.fingerprintPairsEncoded(auto)
+    assert(want.except(gotAuto).isEmpty && gotAuto.except(want).isEmpty,
+      "auto-codec encoded-domain winnowing pairs differ from decoded-domain pairs")
+    val plan = Graft.fingerprintPairsEncoded(auto)
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("winnow_rows"), plan)
+    assert(!plan.contains("decode_row"), plan)
+  }
 }

@@ -430,6 +430,54 @@ object Soak {
         rows.indices.forall(i => sigs(i) == shOracle(rows(i)))
       }, 100)
 
+      // compressed-domain winnowing: per-codec rolling k-gram + sliding
+      // window-min kernels vs the WinnowFingerprint expression on the
+      // decoded array (exercises the monotonic deque, the short-row single
+      // window, the unsigned min order, and the RLE k+w prefix fold)
+      def wfOracle(toks: Array[Int], k: Int, w: Int): Array[Long] = {
+        val lit = Literal.create(toks, ArrayType(IntegerType, containsNull = false))
+        graft.pipeline.WinnowFingerprint(lit, k, w)
+          .eval(null).asInstanceOf[ArrayData].toLongArray()
+      }
+      for (codec <- Codecs.all) {
+        check(s"winnow-vs-oracle-${codec.name}",
+          Prop.forAll(Gen.listOfN(12, genToks), Gen.choose(1, 5), Gen.choose(1, 6)) {
+            (rowsL, k, w) =>
+              val rows = rowsL.toIndexedSeq
+              val stats = ChunkStats.compute(rows)
+              val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+                !((codec eq BitPackCodec) && stats.minTok < 0)
+              if (!eligible) true
+              else {
+                val header = codec.buildHeader(rows, stats)
+                val enc = codec.encoder(header)
+                val out = new ByteWriter()
+                val offs = new Array[Int](rows.length + 1)
+                rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+                val fps = WinnowMatch.chunkRowFingerprints(codec.name, header,
+                  out.toBytes, offs, rows.length, k, w)
+                rows.indices.forall(i => java.util.Arrays.equals(fps(i), wfOracle(rows(i), k, w)))
+              }
+          }, 1000)
+      }
+      // winnowing RLE prefix fold at LARGE run lengths (a run of r costs
+      // min(r, k+w) feeds — prove the skipped feeds change nothing)
+      check("winnow-rle-long-runs", Prop.forAll(
+        Gen.listOfN(3, Gen.choose(1, 6).flatMap(nr =>
+          Gen.listOfN(nr, Gen.zip(Gen.choose(1, 100000), Gen.choose(-3, 3)))
+            .map(_.flatMap { case (r, v) => Array.fill(r)(v) }.toArray))),
+        Gen.choose(1, 5), Gen.choose(1, 6)) { (rowsL, k, w) =>
+        val rows = rowsL.toIndexedSeq
+        val header = RleCodec.buildHeader(rows, ChunkStats.compute(rows))
+        val enc = RleCodec.encoder(header)
+        val out = new ByteWriter()
+        val offs = new Array[Int](rows.length + 1)
+        rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+        val fps = WinnowMatch.chunkRowFingerprints(RleCodec.name, header,
+          out.toBytes, offs, rows.length, k, w)
+        rows.indices.forall(i => java.util.Arrays.equals(fps(i), wfOracle(rows(i), k, w)))
+      }, 100)
+
       // RLE saturated-window fold at LARGE run lengths (a run of r costs
       // min(r, n) feeds — prove the skipped feeds change nothing)
       check("minhash-rle-long-runs", Prop.forAll(
