@@ -377,6 +377,22 @@ object Bench {
       val (nDdD, tDdD) = best(
         EncodeJob.decodeDf(autoChunks).groupBy(col("tokens")).count().count())
       require(nDdC == nDdD, s"encoded dedup disagrees with decode: $nDdC/$nDdD")
+      // compressed-domain MINHASH SIGNATURES (round 5): rolling-window
+      // shingles + 64 lanes streamed off the encoded chunks (sig-only — no
+      // gram sets), vs full decode + ShingleHashes + MinHashSig. The XOR of
+      // lane 0 across all eligible rows is the cross-assert (order-free,
+      // overflow-free; a single differing signature flips it).
+      import org.apache.spark.sql.functions.{bit_xor, element_at}
+      val (nMhC, tMhC) = best(
+        Graft.minhashRowsEncoded(autoChunks, shingleN = 3, numHashes = 64,
+            seed = 42L, collectGrams = false)
+          .agg(bit_xor(element_at(col("sig"), 1))).collect()(0).getLong(0))
+      val (nMhD, tMhD) = best(
+        EncodeJob.decodeDf(autoChunks).filter(col("n_tok") >= 3)
+          .select(graft.pipeline.PipelineFunctions.minhashSig(
+            graft.pipeline.PipelineFunctions.shingleHashes(col("tokens"), 3), 64, 42L).as("sig"))
+          .agg(bit_xor(element_at(col("sig"), 1))).collect()(0).getLong(0))
+      require(nMhC == nMhD, s"encoded minhash signatures disagree with decode: $nMhC/$nMhD")
       dictChunks.unpersist()
       rleChunks.unpersist()
       bpChunks.unpersist()
@@ -389,7 +405,7 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sum(col("n_tok"))).collect()(0).getLong(0)
       }
 
-      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"bigram_pairs":$nBgC,"sec_bigram_compressed":$tBgC%.3f,"sec_bigram_decode_group":$tBgD%.3f,"dedup_groups":$nDdC,"sec_dedup_hash_compressed":$tDdC%.3f,"sec_dedup_decode_group":$tDdD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
+      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"bigram_pairs":$nBgC,"sec_bigram_compressed":$tBgC%.3f,"sec_bigram_decode_group":$tBgD%.3f,"dedup_groups":$nDdC,"sec_dedup_hash_compressed":$tDdC%.3f,"sec_dedup_decode_group":$tDdD%.3f,"minhash_sig_xor":$nMhC,"sec_minhash_sig_compressed":$tMhC%.3f,"sec_minhash_sig_decoded":$tMhD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
     }
 
     spark.stop()

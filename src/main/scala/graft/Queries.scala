@@ -191,6 +191,53 @@ object Queries {
       .select(least(a, b).as("doc_a"), greatest(a, b).as("doc_b"), col("hamming"))
   }
 
+  /** Near-dup CLUSTERS over the ENCODED table: the per-document canonical
+    * assignment via connected components over the compressed-domain MinHash
+    * pair list — the full dedup pipeline (shingle → signature → band →
+    * confirm → cluster) with zero decode. Same oracle as q_dedup_clusters.
+    */
+  def dedupClustersEncoded(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Dedup.connectedComponents(
+        dedupMinhashEncoded(spark, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("rep_id").cast("bigint").as("rep_id"))
+
+  /** C4-style duplicate-span removal over the ENCODED table: 128-bit block
+    * hashes stream off the compressed chunks; the first-occurrence window
+    * is the decoded path's own code. doc_id is cast to bigint BEFORE the
+    * window so first-occurrence order matches the oracle's numeric order
+    * (the encoded table's ids are strings). Same oracle as q_span_dedup.
+    */
+  def spanDedupEncoded(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Dedup.spanDupFilter(
+      Graft.spanBlocksEncoded(autoChunks(spark, dir), k = 10)
+        .withColumn("doc_id", col("doc_id").cast("bigint")),
+      Seq("h1", "h2"))
+
+  /** Exact n-gram Jaccard pairs over the ENCODED table: distinct shingle
+    * sets stream off the compressed chunks; the inverted-index self-join is
+    * the decoded path's own code. Same oracle as q_ngram_jaccard.
+    */
+  def ngramJaccardEncoded(spark: SparkSession, dir: String): DataFrame = {
+    // Pair orientation re-normalized after the bigint cast (string ids order
+    // lexicographically); inter/union counts are symmetric.
+    val a = col("doc_a").cast("bigint"); val b = col("doc_b").cast("bigint")
+    Graft.ngramJaccardPairsEncoded(autoChunks(spark, dir), n = 3, minInter = 3)
+      .select(least(a, b).as("doc_a"), greatest(a, b).as("doc_b"),
+        col("inter_cnt").cast("bigint").as("inter_cnt"),
+        col("union_cnt").cast("bigint").as("union_cnt"))
+  }
+
+  /** Benchmark decontamination over the ENCODED table: training-side
+    * shingle sets stream off the compressed chunks (gram-only MinHash
+    * kernel); the benchmark gram set is broadcast. Same oracle as
+    * q_decontaminate.
+    */
+  def decontaminateEncoded(spark: SparkSession, dir: String): DataFrame =
+    Graft.benchmarkOverlapEncoded(autoChunks(spark, dir), n = 5, minShared = 1,
+        benchPred = id => id.cast("bigint") % 29 === 0)
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("n_shared"))
+
   /** Winnowing fingerprint-sharing pairs computed over the ENCODED table:
     * signatures stream off the compressed chunks (WinnowMatch rolling
     * k-grams + sliding window minima); the inverted-index self-join is the
@@ -344,6 +391,10 @@ object Queries {
     "q_dedup_minhash_encoded" -> PipelineQueries.oracles("q_dedup_minhash"),
     "q_dedup_simhash_encoded" -> PipelineQueries.oracles("q_dedup_simhash"),
     "q_fingerprint_pairs_encoded" -> PipelineQueries.oracles("q_fingerprint_pairs"),
+    "q_dedup_clusters_encoded" -> PipelineQueries.oracles("q_dedup_clusters"),
+    "q_span_dedup_encoded" -> PipelineQueries.oracles("q_span_dedup"),
+    "q_decontaminate_encoded" -> PipelineQueries.oracles("q_decontaminate"),
+    "q_ngram_jaccard_encoded" -> PipelineQueries.oracles("q_ngram_jaccard"),
     "q_vocab_hist_compressed" -> OracleSql.vocabTopKSql(k = 100),
     "q_bigram_topk_compressed" -> OracleSql.bigramTopKSql(k = 100),
     "q_length_pct_encoded" -> PipelineQueries.oracles("q_length_percentiles"),
@@ -379,6 +430,10 @@ object Queries {
     "q_dedup_minhash_encoded" -> (dedupMinhashEncoded _),
     "q_dedup_simhash_encoded" -> (dedupSimhashEncoded _),
     "q_fingerprint_pairs_encoded" -> (fingerprintPairsEncoded _),
+    "q_dedup_clusters_encoded" -> (dedupClustersEncoded _),
+    "q_span_dedup_encoded" -> (spanDedupEncoded _),
+    "q_decontaminate_encoded" -> (decontaminateEncoded _),
+    "q_ngram_jaccard_encoded" -> (ngramJaccardEncoded _),
     "q_vocab_hist_compressed" -> (vocabTopKCompressed _),
     "q_bigram_topk_compressed" -> (bigramTopKCompressed _),
     "q_sql_text_pushdown" -> (sqlTextPushdown _),

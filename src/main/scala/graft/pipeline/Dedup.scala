@@ -42,10 +42,21 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, minInter: Int,
                         blockKey: String = "source",
                         maxPostings: Option[Int] = None): DataFrame = {
-    val g = docs.filter(col("n_tok") >= n)
-      .select(col("doc_id"), col(blockKey).as("__bk"),
-        shingleHashes(col("tokens"), n).as("grams"))
-      .withColumn("n_grams", size(col("grams")))
+    jaccardConfirmPairs(
+      docs.filter(col("n_tok") >= n)
+        .select(col("doc_id"), col(blockKey).as("__bk"),
+          shingleHashes(col("tokens"), n).as("grams")),
+      minInter, maxPostings)
+  }
+
+  /** Inverted-index self-join + intersection count over a prepared
+    * (doc_id, __bk, grams) frame — shared by the decoded-domain path above
+    * and the compressed-domain path (query/Graft.ngramJaccardPairsEncoded),
+    * so the two differ ONLY in where the distinct gram sets come from.
+    */
+  private[graft] def jaccardConfirmPairs(g0: DataFrame, minInter: Int,
+                                         maxPostings: Option[Int]): DataFrame = {
+    val g = g0.withColumn("n_grams", size(col("grams")))
     val inv0 = g.select(col("doc_id"), col("__bk"), col("n_grams"),
       explode(col("grams")).as("gram"))
     val inv = maxPostings match {
@@ -252,13 +263,25 @@ object Dedup {
     * correctness diff rather than hide.
     */
   def benchmarkOverlap(train: DataFrame, bench: DataFrame, n: Int,
-                       minShared: Int): DataFrame = {
-    val bg = bench.filter(col("n_tok") >= n)
-      .select(explode(shingleHashes(col("tokens"), n)).as("gram")).distinct()
-    val tg = train.filter(col("n_tok") >= n)
-      .select(col("doc_id"), explode(shingleHashes(col("tokens"), n)).as("gram"))
-    // per-doc grams are already distinct (ShingleHashes dedups), so a plain
-    // count after the semi-probe counts distinct shared grams
+                       minShared: Int): DataFrame =
+    overlapConfirm(
+      train.filter(col("n_tok") >= n)
+        .select(col("doc_id"), shingleHashes(col("tokens"), n).as("grams")),
+      bench.filter(col("n_tok") >= n)
+        .select(shingleHashes(col("tokens"), n).as("grams")),
+      minShared)
+
+  /** Broadcast-probe + shared-gram count over prepared (doc_id, grams) /
+    * (grams) frames — shared by the decoded-domain path above and the
+    * compressed-domain path (query/Graft via minhashRowsEncoded gram sets),
+    * so the two differ ONLY in where the gram sets come from. Per-doc grams
+    * must be distinct (both ShingleHashes and the chunk kernels dedup), so
+    * a plain count after the semi-probe counts distinct shared grams.
+    */
+  private[graft] def overlapConfirm(tg0: DataFrame, bg0: DataFrame,
+                                    minShared: Int): DataFrame = {
+    val bg = bg0.select(explode(col("grams")).as("gram")).distinct()
+    val tg = tg0.select(col("doc_id"), explode(col("grams")).as("gram"))
     tg.join(broadcast(bg), Seq("gram"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -286,8 +309,19 @@ object Dedup {
         posexplode(expr(
           s"transform(sequence(0, size(tokens) div $k - 1), i -> slice(tokens, i * $k + 1, $k))"))
           .as(Seq("blk", "content")))
+    spanDupFilter(blocks, Seq("content"))
+  }
+
+  /** Global first-occurrence filter over a prepared (doc_id, blk, <key>)
+    * block frame: every block whose key already occurred earlier (order =
+    * (doc_id, blk) ascending) is returned as a duplicate. Shared by the
+    * decoded path above (key = the exact block content) and the
+    * compressed-domain path (query/Graft.spanDuplicatesEncoded; key = a
+    * 128-bit block hash), so the two differ ONLY in the block key.
+    */
+  private[graft] def spanDupFilter(blocks: DataFrame, key: Seq[String]): DataFrame = {
     val firstFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("content")).orderBy(col("doc_id"), col("blk"))
+      .partitionBy(key.map(col): _*).orderBy(col("doc_id"), col("blk"))
     blocks
       .withColumn("rn", row_number().over(firstFirst))
       .filter(col("rn") > 1)

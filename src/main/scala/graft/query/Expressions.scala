@@ -1152,3 +1152,68 @@ case class WinnowRowsGenerator(docIds: Expression, data: Expression,
     copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
       symtab = cs(4), codec = cs(5))
 }
+
+/** span_blocks(doc_ids, data, offsets, row_count, symtab, codec) — lazy
+  * generator emitting one (doc_id, blk, h1, h2) row per non-overlapping
+  * k-token block of each encoded document, where (h1, h2) is the 128-bit
+  * polynomial block hash (core/SpanMatch, HashMatch's lanes) computed by
+  * streaming the codec's wire format — no decoded token array and no
+  * materialized block-content arrays in the plan. Trailing partial blocks
+  * are dropped, mirroring the decoded path.
+  */
+case class SpanBlocksGenerator(docIds: Expression, data: Expression,
+    offsets: Expression, rowCount: Expression, symtab: Expression, codec: Expression,
+    k: Int)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(docIds, data, offsets, rowCount, symtab, codec)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("blk", IntegerType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false)))
+  override def prettyName: String = "span_blocks"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ids = docIds.eval(input).asInstanceOf[Array[Byte]]
+    val bytes = data.eval(input).asInstanceOf[Array[Byte]]
+    val rows = rowCount.eval(input).asInstanceOf[Int]
+    if (rows == 0) return Iterator.empty
+    val offs = Offsets.unpack(offsets.eval(input).asInstanceOf[Array[Byte]], rows)
+    val header = symtab.eval(input).asInstanceOf[Array[Byte]]
+    val codecName = codec.eval(input).asInstanceOf[UTF8String].toString
+    val (l1, l2) = SpanMatch.chunkRowBlocks(codecName, header, bytes, offs, rows, k)
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var b = 0
+      private var p = 0 // cursor into the packed id slab (varint len + bytes)
+      private var id: UTF8String = _
+      private def readId(): Unit = {
+        var len = 0; var shift = 0; var bb = 0
+        do {
+          bb = ids(p) & 0xff; p += 1
+          len |= (bb & 0x7f) << shift; shift += 7
+        } while ((bb & 0x80) != 0)
+        id = UTF8String.fromBytes(ids, p, len)
+        p += len
+      }
+      private def skipEmpty(): Unit = {
+        while (i < rows && b >= l1(i).length) {
+          i += 1; b = 0
+          if (i < rows) readId()
+        }
+      }
+      // prime: read row 0's id, then position on the first non-empty row
+      if (rows > 0) readId()
+      skipEmpty()
+      def hasNext: Boolean = i < rows
+      def next(): InternalRow = {
+        val out = new GenericInternalRow(Array[Any](id, b, l1(i)(b), l2(i)(b)))
+        b += 1
+        skipEmpty()
+        out
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
+      symtab = cs(4), codec = cs(5))
+}

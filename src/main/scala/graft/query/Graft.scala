@@ -254,6 +254,68 @@ object Graft {
     graft.pipeline.TextAnalysis.fingerprintConfirmPairs(
       winnowRowsEncoded(chunks, k, w), minShared, maxPostings)
 
+  /** Per-block 128-bit hashes of every non-overlapping k-token block,
+    * straight off the encoded chunks: columns (doc_id, blk, h1, h2).
+    */
+  def spanBlocksEncoded(chunks: DataFrame, k: Int): DataFrame =
+    chunks.select(
+      mkCol(SpanBlocksGenerator(col2expr(col("doc_ids")), col2expr(col("data")),
+        col2expr(col("offsets")), col2expr(col("row_count")),
+        col2expr(col("symtab")), col2expr(col("codec")), k)))
+
+  /** C4-style duplicate-span detection over the ENCODED table: block keys
+    * are 128-bit hashes streamed off the compressed chunks (SpanMatch), the
+    * global first-occurrence filter is the decoded path's own code
+    * (Dedup.spanDupFilter). Identical output barring a 128-bit collision;
+    * the shuffle key shrinks from 4k content bytes to 16 hash bytes and the
+    * corpus is never decompressed.
+    */
+  def spanDuplicatesEncoded(chunks: DataFrame, k: Int): DataFrame =
+    graft.pipeline.Dedup.spanDupFilter(spanBlocksEncoded(chunks, k), Seq("h1", "h2"))
+
+  /** Per-document distinct shingle-hash sets straight off the encoded
+    * chunks, with the chunk's source carried through: columns
+    * (doc_id, source, grams). Grams-only MinHash kernel (zero signature
+    * lanes); rows shorter than shingleN are dropped, mirroring the decoded
+    * path's `n_tok >= n` filter.
+    */
+  def gramRowsEncoded(chunks: DataFrame, shingleN: Int): DataFrame =
+    chunks.select(col("source"),
+      mkCol(MinHashRowsGenerator(col2expr(col("doc_ids")), col2expr(col("data")),
+        col2expr(col("offsets")), col2expr(col("row_count")),
+        col2expr(col("symtab")), col2expr(col("codec")),
+        shingleN, 0, 0L, collectGrams = true)))
+      .select(col("doc_id"), col("source"), col("grams"))
+
+  /** Exact n-gram Jaccard pairs over the ENCODED table: distinct shingle
+    * sets stream off the compressed chunks; the inverted-index self-join is
+    * the decoded path's own code (Dedup.jaccardConfirmPairs) — identical
+    * pairs, corpus never decompressed. Chunks never span sources, so the
+    * block key rides along for free.
+    */
+  def ngramJaccardPairsEncoded(chunks: DataFrame, n: Int, minInter: Int,
+                               maxPostings: Option[Int] = None): DataFrame =
+    graft.pipeline.Dedup.jaccardConfirmPairs(
+      gramRowsEncoded(chunks, n).select(col("doc_id"), col("source").as("__bk"), col("grams")),
+      minInter, maxPostings)
+
+  /** Benchmark decontamination over the ENCODED table: per-doc distinct
+    * shingle-hash sets stream off the compressed chunks (MinHashMatch with
+    * zero signature lanes — gram collection only); the broadcast probe +
+    * shared-gram count is the decoded path's own code
+    * (Dedup.overlapConfirm). `benchPred` selects the benchmark subset by
+    * doc_id; the corpus side never shuffles.
+    */
+  def benchmarkOverlapEncoded(chunks: DataFrame, n: Int, minShared: Int,
+                              benchPred: Column => Column): DataFrame = {
+    val g = minhashRowsEncoded(chunks, shingleN = n, numHashes = 0, seed = 0L)
+      .select(col("doc_id"), col("grams"))
+    graft.pipeline.Dedup.overlapConfirm(
+      g.filter(!benchPred(col("doc_id"))),
+      g.filter(benchPred(col("doc_id"))).select(col("grams")),
+      minShared)
+  }
+
   /** The fast scan path: chunk-granularity pattern match returning matching
     * doc_ids, with bloom-based whole-chunk skipping. One expression eval per
     * chunk ≈ one Engine::Scan per block in the reference.

@@ -207,6 +207,44 @@ object PlanAudit {
         "encoded percentiles must read lengths from the varint prefix, not decode")
       println("lengthPercentiles(encoded): row_token_count prefix read, no decode")
     }
+
+    println("=== [11] round-5 compressed-domain near-dup suite: zero decode, sig-only shuffles ===")
+    locally {
+      // MinHash over encoded chunks: the whole pair pipeline must carry no
+      // decode_row and no gram payload through the banded join (same
+      // keys-only discipline as the decoded q_dedup_minhash, §6)
+      val mh = Graft.dedupMinhashEncoded(chunks, tau = 0.7)
+      val mp = mh.queryExecution.executedPlan.toString
+      require(mp.contains("minhash_rows") && !mp.contains("decode_row"),
+        "encoded minhash must stream signatures off chunks, no decode")
+      println("dedupMinhashEncoded: minhash_rows generator, no decode anywhere in the plan")
+
+      val sh = Graft.dedupSimhashEncoded(chunks, maxHamming = 3)
+      val sp2 = sh.queryExecution.executedPlan.toString
+      require(sp2.contains("simhash_rows") && !sp2.contains("decode_row"),
+        "encoded simhash must stream signatures off chunks, no decode")
+      println("dedupSimhashEncoded: simhash_rows generator, no decode anywhere in the plan")
+
+      // span dedup over encoded chunks: same one-exchange shape as the
+      // decoded path (§10), but the key is the 16-byte block hash and the
+      // scan side reads compressed blobs
+      val sd2 = Graft.spanDuplicatesEncoded(chunks, k = 10)
+      val sdp = sd2.queryExecution.executedPlan.toString
+      val nExch2 = "Exchange hashpartitioning".r.findAllIn(sdp).length
+      require(nExch2 == 1, s"encoded span dedup must shuffle exactly once, saw $nExch2")
+      require(sdp.contains("span_blocks") && !sdp.contains("decode_row"),
+        "encoded span dedup must stream block hashes off chunks, no decode")
+      println("spanDuplicatesEncoded: span_blocks generator, one 16-byte-key exchange, no decode")
+
+      // decontamination over encoded chunks: benchmark grams broadcast, no
+      // decode on either side
+      val ov = Graft.benchmarkOverlapEncoded(chunks, n = 5, minShared = 1,
+        id => id.cast("bigint") % 29 === 0)
+      val op = ov.queryExecution.executedPlan.toString
+      require(op.contains("BroadcastHashJoin"), "encoded decontaminate must broadcast the gram set")
+      require(!op.contains("decode_row"), "encoded decontaminate must not decode rows")
+      println("benchmarkOverlapEncoded: gram sets off chunks, broadcast probe, no decode")
+    }
     spark.stop()
   }
 

@@ -482,4 +482,44 @@ class QuerySpec extends AnyFunSuite {
     assert(plan.contains("winnow_rows"), plan)
     assert(!plan.contains("decode_row"), plan)
   }
+
+  test("compressed-domain span dedup equals the decoded-domain result per codec") {
+    val want = graft.pipeline.Dedup.spanDuplicates(input.toDF(), k = 7)
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val table = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))).toDF()
+      val got = Graft.spanDuplicatesEncoded(table, k = 7)
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: encoded-domain span duplicates differ from decoded-domain")
+    }
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)).toDF()
+    val gotAuto = Graft.spanDuplicatesEncoded(auto, k = 7)
+    assert(want.except(gotAuto).isEmpty && gotAuto.except(want).isEmpty,
+      "auto-codec encoded-domain span duplicates differ from decoded-domain")
+    val plan = gotAuto.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("span_blocks"), plan)
+    assert(!plan.contains("decode_row"), plan)
+  }
+
+  test("compressed-domain decontamination and clustering equal the decoded-domain results") {
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)).toDF()
+    val benchPred = (id: org.apache.spark.sql.Column) => id.cast("bigint") % 29 === 0
+    val wantOv = graft.pipeline.Dedup.benchmarkOverlap(
+      input.toDF().filter(!benchPred(col("doc_id"))),
+      input.toDF().filter(benchPred(col("doc_id"))), n = 5, minShared = 1)
+    val gotOv = Graft.benchmarkOverlapEncoded(auto, n = 5, minShared = 1, benchPred)
+    assert(wantOv.except(gotOv).isEmpty && gotOv.except(wantOv).isEmpty,
+      "encoded-domain decontamination differs from decoded-domain")
+    val wantCc = graft.pipeline.Dedup.connectedComponents(
+      graft.pipeline.Dedup.minhashLshPairs(input.toDF(), tau = 0.7)
+        .select(col("doc_a"), col("doc_b")))
+    val gotCc = graft.pipeline.Dedup.connectedComponents(
+      Graft.dedupMinhashEncoded(auto, tau = 0.7).select(col("doc_a"), col("doc_b")))
+    assert(wantCc.except(gotCc).isEmpty && gotCc.except(wantCc).isEmpty,
+      "encoded-domain dedup clusters differ from decoded-domain")
+    val wantJc = graft.pipeline.Dedup.ngramJaccardPairs(input.toDF(), n = 3, minInter = 3)
+    val gotJc = Graft.ngramJaccardPairsEncoded(auto, n = 3, minInter = 3)
+    assert(wantJc.except(gotJc).isEmpty && gotJc.except(wantJc).isEmpty,
+      "encoded-domain n-gram Jaccard pairs differ from decoded-domain")
+  }
 }

@@ -478,6 +478,37 @@ object Soak {
         rows.indices.forall(i => java.util.Arrays.equals(fps(i), wfOracle(rows(i), k, w)))
       }, 100)
 
+      // compressed-domain span blocks: per-codec fixed-width block hashing
+      // vs HashMatch's reference polynomial on the decoded array — every
+      // block's two lanes bit-identical, trailing partial dropped
+      for (codec <- Codecs.all) {
+        check(s"spanblocks-vs-oracle-${codec.name}",
+          Prop.forAll(Gen.listOfN(12, genToks), Gen.choose(1, 7)) { (rowsL, k) =>
+            val rows = rowsL.toIndexedSeq
+            val stats = ChunkStats.compute(rows)
+            val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+              !((codec eq BitPackCodec) && stats.minTok < 0)
+            if (!eligible) true
+            else {
+              val header = codec.buildHeader(rows, stats)
+              val enc = codec.encoder(header)
+              val out = new ByteWriter()
+              val offs = new Array[Int](rows.length + 1)
+              rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+              val (l1, l2) = SpanMatch.chunkRowBlocks(codec.name, header,
+                out.toBytes, offs, rows.length, k)
+              rows.indices.forall { i =>
+                val nb = rows(i).length / k
+                l1(i).length == nb && l2(i).length == nb &&
+                  (0 until nb).forall { b =>
+                    l1(i)(b) == HashMatch.hashTokens1(rows(i), b * k, k) &&
+                      l2(i)(b) == HashMatch.hashTokens2(rows(i), b * k, k)
+                  }
+              }
+            }
+          }, 1000)
+      }
+
       // RLE saturated-window fold at LARGE run lengths (a run of r costs
       // min(r, n) feeds — prove the skipped feeds change nothing)
       check("minhash-rle-long-runs", Prop.forAll(
