@@ -393,6 +393,32 @@ object Bench {
             graft.pipeline.PipelineFunctions.shingleHashes(col("tokens"), 3), 64, 42L).as("sig"))
           .agg(bit_xor(element_at(col("sig"), 1))).collect()(0).getLong(0))
       require(nMhC == nMhD, s"encoded minhash signatures disagree with decode: $nMhC/$nMhD")
+      // metadata-plane PACKING (round 5): the packSummary manifest off
+      // rowMeta (id slab + one varint per row, zero decode) vs the same
+      // two-level prefix sum off full decode. count() = manifest rows.
+      val (nPkC, tPkC) = best(
+        graft.pipeline.Packing.packSummary(
+          Graft.rowMeta(autoChunks).withColumn("doc_id", col("doc_id").cast("bigint")),
+          seqLen = 1024, bucketWidth = 4096).count())
+      val (nPkD, tPkD) = best(
+        graft.pipeline.Packing.packSummary(
+          EncodeJob.decodeDf(autoChunks)
+            .select(col("doc_id").cast("bigint").as("doc_id"), col("source"), col("n_tok")),
+          seqLen = 1024, bucketWidth = 4096).count())
+      require(nPkC == nPkD, s"encoded packing manifest disagrees with decode: $nPkC/$nPkD")
+      // LATE-MATERIALIZED SAMPLING (round 5): a 2% deterministic sample —
+      // filter the encoded view on splitmix64(doc_id) BEFORE decode (only
+      // survivors pay decode_row) vs decode-everything-then-filter. The
+      // summed token totals of the sample are the cross-assert.
+      def sampleSum(df: org.apache.spark.sql.DataFrame): Long = df
+        .withColumn("__id", col("doc_id").cast("bigint"))
+        .filter(graft.pipeline.PipelineFunctions.sampleBucket(col("__id"), 100) < 2)
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr("aggregate(tokens, 0L, (a, x) -> a + x)")))
+        .collect()(0).getLong(0)
+      val (nSmC, tSmC) = best(sampleSum(Graft.encodedRows(autoChunks)))
+      val (nSmD, tSmD) = best(sampleSum(EncodeJob.decodeDf(autoChunks)))
+      require(nSmC == nSmD, s"late-materialized sample disagrees with decode-all: $nSmC/$nSmD")
       dictChunks.unpersist()
       rleChunks.unpersist()
       bpChunks.unpersist()
@@ -405,7 +431,7 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sum(col("n_tok"))).collect()(0).getLong(0)
       }
 
-      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"bigram_pairs":$nBgC,"sec_bigram_compressed":$tBgC%.3f,"sec_bigram_decode_group":$tBgD%.3f,"dedup_groups":$nDdC,"sec_dedup_hash_compressed":$tDdC%.3f,"sec_dedup_decode_group":$tDdD%.3f,"minhash_sig_xor":$nMhC,"sec_minhash_sig_compressed":$tMhC%.3f,"sec_minhash_sig_decoded":$tMhD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
+      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"bigram_pairs":$nBgC,"sec_bigram_compressed":$tBgC%.3f,"sec_bigram_decode_group":$tBgD%.3f,"dedup_groups":$nDdC,"sec_dedup_hash_compressed":$tDdC%.3f,"sec_dedup_decode_group":$tDdD%.3f,"minhash_sig_xor":$nMhC,"sec_minhash_sig_compressed":$tMhC%.3f,"sec_minhash_sig_decoded":$tMhD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"pack_manifest_rows":$nPkC,"sec_pack_encoded":$tPkC%.3f,"sec_pack_decoded":$tPkD%.3f,"sample_tok_sum":$nSmC,"sec_sample_encoded":$tSmC%.3f,"sec_sample_decode_all":$tSmD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
     }
 
     spark.stop()

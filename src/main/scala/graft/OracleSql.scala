@@ -76,6 +76,31 @@ object OracleSql {
        |GROUP BY source""".stripMargin
   }
 
+  /** Late-materialized sampling (Queries.sampleDecodeEncoded semantics):
+    * the same splitmix64 mixture-sampling predicate as stratifiedSampleSql,
+    * but returning per-document token sums + counts — reproducing what the
+    * Spark side decodes from the sampled rows of the COMPRESSED table.
+    * Empty documents survive sampling with (0, 0).
+    */
+  def sampledDecodeSql(highSources: Seq[String], highPct: Int,
+                       defaultPct: Int): String = {
+    val (ctes, last) = mix64Ctes("__sm", "documents", Seq("doc_id", "source"),
+      "CAST(doc_id AS UBIGINT)")
+    val inList = highSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH $tokenizeCtes,
+       |$ctes,
+       |__keep AS (
+       |  SELECT doc_id FROM $last
+       |  WHERE z % 100 < (CASE WHEN source IN ($inList) THEN $highPct ELSE $defaultPct END)),
+       |__sums AS (
+       |  SELECT doc_id, CAST(sum(tok) AS BIGINT) AS tok_sum,
+       |    CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM __tok GROUP BY doc_id)
+       |SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+       |  COALESCE(s.tok_sum, 0) AS tok_sum, COALESCE(s.n_tok, 0) AS n_tok
+       |FROM __keep k LEFT JOIN __sums s USING (doc_id)""".stripMargin
+  }
+
   /** SimHash near-dup pairs (Dedup.simhashPairs semantics): unigram
     * splitmix64 → 64-bit majority signature → 4×16-bit band buckets →
     * exact Hamming ≤ maxHamming.

@@ -306,6 +306,44 @@ object Queries {
       Graft.encodedRows(fsstChunks(spark, dir))
         .select(col("source"), size(col("tokens")).as("n_tok")))
 
+  /** Sequence packing planned ENTIRELY off the encoded table: the two-level
+    * distributed prefix sum (pipeline.Packing) runs over Graft.rowMeta —
+    * (doc_id, source, n_tok) read from id slabs + each row's leading varint,
+    * with zero decode and zero payload copies in the plan. The packing
+    * manifest for a 100-TB compressed corpus is computed at metadata CPU
+    * cost. Shares the q_pack_sequences oracle (naive single-window prefix
+    * sum over the raw table), so the compressed-domain plan is checked
+    * end-to-end against the string-domain truth.
+    */
+  def packSequencesEncoded(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.packSummary(
+        Graft.rowMeta(autoChunks(spark, dir))
+          .withColumn("doc_id", col("doc_id").cast("bigint")),
+        seqLen = 1024, bucketWidth = 64)
+      .select(col("source"), col("seq_id"), col("n_docs"), col("toks_in"),
+        col("first_doc"), col("last_doc"))
+
+  /** Late-materialized SAMPLING: the deterministic mixture-sampling
+    * predicate (splitmix64(doc_id) mod 100 vs per-source rate) filters the
+    * encoded view BEFORE any decode, so only surviving rows pay decode_row —
+    * drawing a training subset from a compressed corpus decodes exactly the
+    * sample, never the corpus. tok_sum aggregates the DECODED tokens of each
+    * survivor (forcing real decode on the sampled rows); n_tok reads the
+    * varint prefix. The oracle recomputes the same splitmix64 buckets and
+    * token sums from the raw text in DuckDB.
+    */
+  def sampleDecodeEncoded(spark: SparkSession, dir: String): DataFrame = {
+    val rate = (0 to 4).map(i => s"src$i").foldLeft(lit(30)) {
+      case (acc, src) => when(col("source") === src, lit(80)).otherwise(acc)
+    }
+    Graft.encodedRows(autoChunks(spark, dir))
+      .withColumn("__id", col("doc_id").cast("bigint"))
+      .filter(graft.pipeline.PipelineFunctions.sampleBucket(col("__id"), 100) < rate)
+      .select(col("__id").as("doc_id"),
+        expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("tok_sum"),
+        size(col("tokens")).cast("long").as("n_tok"))
+  }
+
   /** Aggregation over the DECODED table (exercises decode correctness at
     * aggregate granularity).
     */
@@ -398,6 +436,9 @@ object Queries {
     "q_vocab_hist_compressed" -> OracleSql.vocabTopKSql(k = 100),
     "q_bigram_topk_compressed" -> OracleSql.bigramTopKSql(k = 100),
     "q_length_pct_encoded" -> PipelineQueries.oracles("q_length_percentiles"),
+    "q_pack_sequences_encoded" -> PipelineQueries.oracles("q_pack_sequences"),
+    "q_sample_decode_encoded" ->
+      OracleSql.sampledDecodeSql((0 to 4).map(i => s"src$i"), 80, 30),
     "q_sql_text_pushdown" ->
       s"""SELECT doc_id FROM documents
          | WHERE $padded LIKE '% value table %'
@@ -426,6 +467,8 @@ object Queries {
     "q_blocklist_tokens" -> (blocklistTokens _),
     "q_length_filter" -> (lengthFilter _),
     "q_length_pct_encoded" -> (lengthPercentilesEncoded _),
+    "q_pack_sequences_encoded" -> (packSequencesEncoded _),
+    "q_sample_decode_encoded" -> (sampleDecodeEncoded _),
     "q_dedup_exact_encoded" -> (dedupExactEncoded _),
     "q_dedup_minhash_encoded" -> (dedupMinhashEncoded _),
     "q_dedup_simhash_encoded" -> (dedupSimhashEncoded _),

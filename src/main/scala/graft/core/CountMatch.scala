@@ -116,17 +116,24 @@ object CountMatch {
         }
         (t1s, t2s, cs)
       } else {
-        // sort by (t1, t2): the packed key orders correctly only when both
-        // halves share a sign class — sort by the unpacked pair instead
-        val sorted = sparse.keys.toArray.sortBy(k => ((k >> 32).toInt, k.toInt))
+        // sort by (t1, t2): the packed key misorders when the halves differ
+        // in sign class — flipping the sign bit of EACH 32-bit half makes
+        // signed-long order equal lexicographic (t1 signed, t2 signed), so a
+        // primitive Arrays.sort replaces the boxed sortBy-on-tuples (this
+        // sort dominated the sparse path's CPU on wide-vocab chunks)
+        val sorted = sparse.keys.toArray
+        var i = 0
+        while (i < sorted.length) { sorted(i) ^= 0x8000000080000000L; i += 1 }
+        java.util.Arrays.sort(sorted)
         val t1s = new Array[Int](sorted.length)
         val t2s = new Array[Int](sorted.length)
         val cs = new Array[Long](sorted.length)
-        var i = 0
+        i = 0
         while (i < sorted.length) {
-          t1s(i) = (sorted(i) >> 32).toInt
-          t2s(i) = sorted(i).toInt
-          cs(i) = sparse(sorted(i))
+          val k = sorted(i) ^ 0x8000000080000000L
+          t1s(i) = (k >> 32).toInt
+          t2s(i) = k.toInt
+          cs(i) = sparse(k)
           i += 1
         }
         (t1s, t2s, cs)

@@ -796,6 +796,57 @@ case class EncodedRowsGenerator(docIds: Expression, data: Expression,
     copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3))
 }
 
+/** row_meta(doc_ids, data, offsets, row_count) — lazy generator emitting one
+  * (doc_id, n_tok) row per encoded document, reading ONLY the packed id slab
+  * and each row's leading varint token count. No decode, no enc-slice copy:
+  * this is the metadata projection that drives planning-style operators
+  * (sequence packing, length stats, sampling manifests) off a compressed
+  * table at file-metadata cost — the chunk's `data` blob is touched for
+  * exactly rowCount varints (≤5 bytes each) at the row offsets.
+  */
+case class RowMetaGenerator(docIds: Expression, data: Expression,
+    offsets: Expression, rowCount: Expression)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] = Seq(docIds, data, offsets, rowCount)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = false)))
+  override def prettyName: String = "row_meta"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ids = docIds.eval(input).asInstanceOf[Array[Byte]]
+    val bytes = data.eval(input).asInstanceOf[Array[Byte]]
+    val rows = rowCount.eval(input).asInstanceOf[Int]
+    if (rows == 0) return Iterator.empty
+    val offs = Offsets.unpack(offsets.eval(input).asInstanceOf[Array[Byte]], rows)
+    val out = new GenericInternalRow(2)
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var p = 0 // cursor into the packed id slab (varint len + bytes)
+      def hasNext: Boolean = i < rows
+      def next(): InternalRow = {
+        var len = 0; var shift = 0; var b = 0
+        do {
+          b = ids(p) & 0xff; p += 1
+          len |= (b & 0x7f) << shift; shift += 7
+        } while ((b & 0x80) != 0)
+        out.update(0, UTF8String.fromBytes(ids, p, len))
+        p += len
+        // the row's encoding leads with its varint token count
+        var q = offs(i); var n = 0; shift = 0
+        do {
+          b = bytes(q) & 0xff; q += 1
+          n |= (b & 0x7f) << shift; shift += 7
+        } while ((b & 0x80) != 0)
+        out.setInt(1, n)
+        i += 1
+        out
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3))
+}
+
 /** Chunk-granularity token histogram: (token, count) pairs for one whole
   * chunk computed in the codec's own compressed domain (CountMatch kernels) —
   * code-byte counting + one symbol expansion for FSST, run-sum for RLE,
@@ -864,67 +915,49 @@ case class ChunkTokenCounts(children: Seq[Expression]) extends Expression {
     copy(children = cs)
 }
 
-/** Chunk-granularity BIGRAM histogram: (t1, t2, count) pairs computed in the
-  * codec's compressed domain (CountMatch.chunkBigrams) — the pair-count
-  * statistic behind BPE-style merge analysis, without decoding a row. FSST
-  * counts a 256×256 code-transition matrix + per-code occurrences and
-  * expands both once per chunk; RLE contributes (v,v)×(run−1) per run.
+/** bigram_counts(data, offsets, row_count, symtab, codec, min_tok, max_tok) —
+  * lazy generator emitting one (t1, t2, cnt) row per DISTINCT adjacent token
+  * pair of the chunk, computed in the codec's compressed domain
+  * (CountMatch.chunkBigrams) — the pair-count statistic behind BPE-style
+  * merge analysis, without decoding a row. FSST counts a 256×256
+  * code-transition matrix + per-code occurrences and expands both once per
+  * chunk; RLE contributes (v,v)×(run−1) per run. Rows stream straight off
+  * the counter's three primitive result arrays through ONE reused mutable
+  * row (GenerateExec projects each emitted row to unsafe before the next
+  * call) — the previous eager-expression + explode shape materialized every
+  * distinct pair twice (boxed struct array, then explode's copy) before the
+  * partial aggregate saw it, which on wide-vocab chunks allocated millions
+  * of short-lived rows per chunk.
   */
-case class ChunkBigramCounts(children: Seq[Expression]) extends Expression {
+case class BigramCountsGenerator(children: Seq[Expression])
+    extends Expression with Generator with CodegenFallback {
   // children: data, offsets, row_count, symtab, codec, min_tok, max_tok
-  override def dataType: DataType = ArrayType(StructType(Seq(
+  override def elementSchema: StructType = StructType(Seq(
     StructField("t1", IntegerType, nullable = false),
     StructField("t2", IntegerType, nullable = false),
-    StructField("cnt", LongType, nullable = false))), containsNull = false)
-  override def nullable: Boolean = false
-  override def prettyName: String = "chunk_bigram_counts"
+    StructField("cnt", LongType, nullable = false)))
+  override def prettyName: String = "bigram_counts"
 
-  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
-    val ref = ctx.addReferenceObj("chunkBigramCounts", this, classOf[ChunkBigramCounts].getName)
-    val evals = children.map(_.genCode(ctx))
-    val anyNull = evals.map(_.isNull).mkString(" || ")
-    val args = Seq(
-      s"(byte[]) ${evals(0).value}", s"(byte[]) ${evals(1).value}",
-      s"(int) ${evals(2).value}", s"(byte[]) ${evals(3).value}",
-      s"(org.apache.spark.unsafe.types.UTF8String) ${evals(4).value}",
-      s"(int) ${evals(5).value}", s"(int) ${evals(6).value}").mkString(", ")
-    val code =
-      code"""
-        ${evals.map(_.code).mkString("\n")}
-        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
-        if ($anyNull) {
-          ${ev.value} = $ref.emptyResult();
-        } else {
-          ${ev.value} = $ref.countChunk($args);
-        }
-      """
-    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
-  }
-
-  def emptyResult(): ArrayData = new GenericArrayData(Array.empty[Any])
-
-  override def eval(input: InternalRow): Any = {
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val vals = children.map(_.eval(input))
-    if (vals.contains(null)) emptyResult()
-    else countChunk(vals(0).asInstanceOf[Array[Byte]], vals(1).asInstanceOf[Array[Byte]],
-      vals(2).asInstanceOf[Int], vals(3).asInstanceOf[Array[Byte]],
-      vals(4).asInstanceOf[UTF8String], vals(5).asInstanceOf[Int], vals(6).asInstanceOf[Int])
-  }
-
-  def countChunk(data: Array[Byte], offBytes: Array[Byte], rowCount: Int,
-                 header: Array[Byte], codecU: UTF8String,
-                 minTok: Int, maxTok: Int): ArrayData = {
-    val offs = Offsets.unpack(offBytes, rowCount)
-    val (t1s, t2s, cnts) = CountMatch.chunkBigrams(codecU.toString, header, data,
-      offs, rowCount, minTok, maxTok)
-    val rows = new Array[Any](t1s.length)
-    var i = 0
-    while (i < t1s.length) {
-      rows(i) = new GenericInternalRow(Array[Any](t1s(i), t2s(i), cnts(i)))
-      i += 1
+    if (vals.contains(null)) return Iterator.empty
+    val rowCount = vals(2).asInstanceOf[Int]
+    if (rowCount == 0) return Iterator.empty
+    val offs = Offsets.unpack(vals(1).asInstanceOf[Array[Byte]], rowCount)
+    val (t1s, t2s, cnts) = CountMatch.chunkBigrams(
+      vals(4).asInstanceOf[UTF8String].toString, vals(3).asInstanceOf[Array[Byte]],
+      vals(0).asInstanceOf[Array[Byte]], offs, rowCount,
+      vals(5).asInstanceOf[Int], vals(6).asInstanceOf[Int])
+    val out = new GenericInternalRow(3)
+    new Iterator[InternalRow] {
+      private var i = 0
+      def hasNext: Boolean = i < t1s.length
+      def next(): InternalRow = {
+        out.setInt(0, t1s(i)); out.setInt(1, t2s(i)); out.setLong(2, cnts(i))
+        i += 1
+        out
+      }
     }
-    new GenericArrayData(rows)
   }
 
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =

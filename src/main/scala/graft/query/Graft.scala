@@ -157,6 +157,23 @@ object Graft {
       .withColumn("tokens", decodeRow(col("enc"), col("symtab"), col("codec")))
   }
 
+  /** Metadata-only per-document view of an encoded chunk table: columns
+    * (doc_id, source, n_tok) read from the packed id slab and each row's
+    * leading varint token count — no decode, no per-row payload copy.
+    * Planning-style operators (sequence packing, sampling manifests,
+    * length stats) run off a compressed corpus at metadata CPU cost: the
+    * parquet scan still reads the chunk blob column (same row group), but
+    * the kernel touches exactly one ≤5-byte varint per document and emits
+    * 16-byte rows, never materializing token payloads or enc slices.
+    */
+  def rowMeta(chunks: DataFrame): DataFrame = {
+    chunks
+      .select(col("source"),
+        mkCol(RowMetaGenerator(col2expr(col("doc_ids")), col2expr(col("data")),
+          col2expr(col("offsets")), col2expr(col("row_count")))))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+  }
+
   /** Per-document 128-bit content hashes straight off the encoded chunks
     * (HashMatch kernels — no row decode in the plan): columns
     * (doc_id, source, h1, h2). The dedup-ready projection of a compressed
@@ -380,17 +397,18 @@ object Graft {
     * for FSST; run arithmetic for RLE; packed-value cursors elsewhere),
     * merged by groupBy(t1, t2) under partial aggregation. The pair-count
     * table behind BPE-style merge analysis — over compressed storage, with
-    * no row decode in the plan.
+    * no row decode in the plan. Pairs stream through a lazy Generator
+    * (one reused row off three primitive arrays) rather than an eager
+    * array-of-structs + explode.
     */
   def bigramHistogram(chunks: DataFrame): DataFrame = {
-    val bigramExpr = ChunkBigramCounts(
-      Seq(col2expr(col("data")), col2expr(col("offsets")), col2expr(col("row_count")),
-        col2expr(col("symtab")), col2expr(col("codec")),
-        col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok"))))
     chunks
-      .select(explode(mkCol(bigramExpr)).as("bg"))
-      .groupBy(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
-      .agg(sum(col("bg.cnt")).as("n"))
+      .select(mkCol(BigramCountsGenerator(
+        Seq(col2expr(col("data")), col2expr(col("offsets")), col2expr(col("row_count")),
+          col2expr(col("symtab")), col2expr(col("codec")),
+          col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok"))))))
+      .groupBy(col("t1"), col("t2"))
+      .agg(sum(col("cnt")).as("n"))
   }
 
   /** Late materialization (the reference's decode-only-matches behavior,

@@ -181,11 +181,13 @@ object PlanAudit {
 
       val bg = Graft.bigramHistogram(chunks)
       val bp2 = bg.queryExecution.executedPlan.toString
-      require(bp2.contains("chunk_bigram_counts") && !bp2.contains("decode_row"),
+      require(bp2.contains("bigram_counts") && !bp2.contains("decode_row"),
         "bigram histogram must use the compressed kernel, no decode")
+      require(bp2.contains("Generate"),
+        "bigram pairs must stream through the lazy generator, not an eager explode")
       require(bp2.substring(bp2.indexOf("Exchange")).contains("HashAggregate"),
         "bigram partial aggregation must sit below the exchange")
-      println("bigramHistogram: chunk_bigram_counts kernel, map-side partial agg, no decode")
+      println("bigramHistogram: bigram_counts lazy generator, map-side partial agg, no decode")
 
       // span dedup: ONE exchange (hash by block content), no payload columns.
       // Measured over a MATERIALIZED token table (the deployment shape) so
@@ -244,6 +246,42 @@ object PlanAudit {
       require(op.contains("BroadcastHashJoin"), "encoded decontaminate must broadcast the gram set")
       require(!op.contains("decode_row"), "encoded decontaminate must not decode rows")
       println("benchmarkOverlapEncoded: gram sets off chunks, broadcast probe, no decode")
+    }
+
+    println("=== [12] round-5 metadata plane: packing manifest + late-materialized sampling ===")
+    locally {
+      import org.apache.spark.sql.functions.{col, expr, lit, when}
+      // rowMeta: (doc_id, source, n_tok) off id slabs + varint prefixes —
+      // a metadata-CPU plan with no decode and no enc-slice generator
+      val rm = Graft.rowMeta(chunks)
+      val rmp = rm.queryExecution.executedPlan.toString
+      require(rmp.contains("row_meta") && !rmp.contains("decode_row") &&
+        !rmp.contains("encoded_rows"),
+        "rowMeta must read varint prefixes only — no decode, no enc slices")
+      println("rowMeta: row_meta generator, no decode, no payload slices")
+
+      // packing manifest off the encoded table: the whole two-level prefix
+      // sum must stay on the metadata plane
+      val pk = graft.pipeline.Packing.packSummary(
+        Graft.rowMeta(chunks).withColumn("doc_id", col("doc_id").cast("bigint")),
+        seqLen = 1024, bucketWidth = 4096)
+      require(!pk.queryExecution.executedPlan.toString.contains("decode_row"),
+        "encoded packing manifest must not decode any row")
+      println("packSummary(rowMeta): two-level prefix sum, zero decode in the plan")
+
+      // late-materialized sampling: decode_row must sit ABOVE the
+      // sample_bucket filter (top-down plan string) — survivors-only decode
+      val rate = when(col("source") === "src0", lit(80)).otherwise(lit(30))
+      val sm = Graft.encodedRows(chunks)
+        .withColumn("__id", col("doc_id").cast("bigint"))
+        .filter(graft.pipeline.PipelineFunctions.sampleBucket(col("__id"), 100) < rate)
+        .select(col("__id").as("doc_id"),
+          expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("tok_sum"))
+      val smp = sm.queryExecution.optimizedPlan.toString
+      val di = smp.indexOf("decode_row"); val si = smp.indexOf("sample_bucket")
+      require(di >= 0 && si >= 0 && di < si,
+        s"sampled decode must run above the sample filter (decode@$di filter@$si)")
+      println("sampleDecode: sample_bucket filters below decode_row — survivors-only decode")
     }
     spark.stop()
   }

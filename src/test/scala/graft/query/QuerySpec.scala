@@ -522,4 +522,57 @@ class QuerySpec extends AnyFunSuite {
     assert(wantJc.except(gotJc).isEmpty && gotJc.except(wantJc).isEmpty,
       "encoded-domain n-gram Jaccard pairs differ from decoded-domain")
   }
+
+  test("rowMeta reads (doc_id, source, n_tok) off the encoded table with zero decode, per codec") {
+    val want = input.toDF().select(col("doc_id").cast("string").as("doc_id"),
+      col("source"), size(col("tokens")).as("n_tok"))
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val table = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))).toDF()
+      val got = Graft.rowMeta(table)
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: rowMeta differs from the raw-table metadata")
+    }
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)).toDF()
+    val gotAuto = Graft.rowMeta(auto)
+    assert(want.except(gotAuto).isEmpty && gotAuto.except(want).isEmpty,
+      "auto-codec rowMeta differs from the raw-table metadata")
+    val plan = gotAuto.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("row_meta"), plan)
+    assert(!plan.contains("decode_row"), plan)
+  }
+
+  test("packing plans and sampling decode off the encoded table (late-materialized sample)") {
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)).toDF()
+    val rawDocs = input.toDF().withColumn("doc_id", col("doc_id").cast("bigint"))
+    // packing: the two-level prefix sum over rowMeta must equal the same
+    // plan over the raw table — and carry no decode
+    val wantPack = graft.pipeline.Packing.packSummary(
+      rawDocs.withColumn("n_tok", size(col("tokens"))), seqLen = 128, bucketWidth = 16)
+    val gotPackDf = graft.pipeline.Packing.packSummary(
+      Graft.rowMeta(auto).withColumn("doc_id", col("doc_id").cast("bigint")),
+      seqLen = 128, bucketWidth = 16)
+    assert(wantPack.except(gotPackDf).isEmpty && gotPackDf.except(wantPack).isEmpty,
+      "encoded-table packing manifest differs from the raw-table manifest")
+    assert(!gotPackDf.queryExecution.optimizedPlan.toString().contains("decode_row"))
+    // sampling: survivors (and only survivors) decode; token sums prove the
+    // decode really ran on the sampled rows
+    val rate = when(col("source") === "src0", lit(80)).otherwise(lit(30))
+    def project(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__id", col("doc_id").cast("bigint"))
+      .filter(graft.pipeline.PipelineFunctions.sampleBucket(col("__id"), 100) < rate)
+      .select(col("__id").as("doc_id"),
+        expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("tok_sum"),
+        size(col("tokens")).cast("long").as("n_tok"))
+    val wantS = project(input.toDF())
+    val gotS = project(Graft.encodedRows(auto))
+    assert(wantS.except(gotS).isEmpty && gotS.except(wantS).isEmpty,
+      "late-materialized sample differs from the raw-table sample")
+    // plan shape: decode_row sits ABOVE the sample_bucket filter (top-down
+    // plan string), i.e. only sampled rows pay the decode
+    val plan = gotS.queryExecution.optimizedPlan.toString()
+    val di = plan.indexOf("decode_row"); val si = plan.indexOf("sample_bucket")
+    assert(di >= 0 && si >= 0 && di < si,
+      s"decode must apply only to sampled rows (decode@$di filter@$si):\n$plan")
+  }
 }
