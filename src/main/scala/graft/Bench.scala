@@ -396,23 +396,28 @@ object Bench {
       // metadata-plane PACKING (round 5): the packSummary manifest off
       // rowMeta (id slab + one varint per row, zero decode) vs the same
       // two-level prefix sum off full decode. count() = manifest rows.
+      // The synthetic table's ids are "doc-<source>-<n>": the numeric
+      // suffix is the packing order key (a bare cast would null out).
+      val numId = org.apache.spark.sql.functions
+        .expr("CAST(substring_index(doc_id, '-', -1) AS BIGINT)")
       val (nPkC, tPkC) = best(
         graft.pipeline.Packing.packSummary(
-          Graft.rowMeta(autoChunks).withColumn("doc_id", col("doc_id").cast("bigint")),
+          Graft.rowMeta(autoChunks).withColumn("doc_id", numId),
           seqLen = 1024, bucketWidth = 4096).count())
       val (nPkD, tPkD) = best(
         graft.pipeline.Packing.packSummary(
           EncodeJob.decodeDf(autoChunks)
-            .select(col("doc_id").cast("bigint").as("doc_id"), col("source"), col("n_tok")),
+            .select(numId.as("doc_id"), col("source"), col("n_tok")),
           seqLen = 1024, bucketWidth = 4096).count())
       require(nPkC == nPkD, s"encoded packing manifest disagrees with decode: $nPkC/$nPkD")
       // LATE-MATERIALIZED SAMPLING (round 5): a 2% deterministic sample —
-      // filter the encoded view on splitmix64(doc_id) BEFORE decode (only
-      // survivors pay decode_row) vs decode-everything-then-filter. The
-      // summed token totals of the sample are the cross-assert.
+      // filter the encoded view on splitmix64(xxhash64(doc_id)) BEFORE
+      // decode (only survivors pay decode_row) vs decode-everything-then-
+      // filter. xxhash64 keys work for ANY id shape; the summed token
+      // totals of the sample are the cross-assert.
       def sampleSum(df: org.apache.spark.sql.DataFrame): Long = df
-        .withColumn("__id", col("doc_id").cast("bigint"))
-        .filter(graft.pipeline.PipelineFunctions.sampleBucket(col("__id"), 100) < 2)
+        .filter(graft.pipeline.PipelineFunctions.sampleBucket(
+          org.apache.spark.sql.functions.xxhash64(col("doc_id")), 100) < 2)
         .agg(org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.expr("aggregate(tokens, 0L, (a, x) -> a + x)")))
         .collect()(0).getLong(0)

@@ -323,6 +323,16 @@ object Queries {
       .select(col("source"), col("seq_id"), col("n_docs"), col("toks_in"),
         col("first_doc"), col("last_doc"))
 
+  /** Gopher-style repetition scoring over the ENCODED table: the
+    * duplicate-3-gram quality signal streamed off compressed chunks
+    * (rolling-window gram kernel, zero decode). Shares the
+    * q_repetition_scores oracle — the raw-table and compressed paths
+    * cross-check each other down to the double-precision ratio.
+    */
+  def repetitionScoresEncoded(spark: SparkSession, dir: String): DataFrame =
+    Graft.repetitionScoresEncoded(autoChunks(spark, dir))
+      .withColumn("doc_id", col("doc_id").cast("bigint"))
+
   /** Late-materialized SAMPLING: the deterministic mixture-sampling
     * predicate (splitmix64(doc_id) mod 100 vs per-source rate) filters the
     * encoded view BEFORE any decode, so only surviving rows pay decode_row —
@@ -437,6 +447,7 @@ object Queries {
     "q_bigram_topk_compressed" -> OracleSql.bigramTopKSql(k = 100),
     "q_length_pct_encoded" -> PipelineQueries.oracles("q_length_percentiles"),
     "q_pack_sequences_encoded" -> PipelineQueries.oracles("q_pack_sequences"),
+    "q_repetition_encoded" -> PipelineQueries.oracles("q_repetition_scores"),
     "q_sample_decode_encoded" ->
       OracleSql.sampledDecodeSql((0 to 4).map(i => s"src$i"), 80, 30),
     "q_sql_text_pushdown" ->
@@ -468,6 +479,7 @@ object Queries {
     "q_length_filter" -> (lengthFilter _),
     "q_length_pct_encoded" -> (lengthPercentilesEncoded _),
     "q_pack_sequences_encoded" -> (packSequencesEncoded _),
+    "q_repetition_encoded" -> (repetitionScoresEncoded _),
     "q_sample_decode_encoded" -> (sampleDecodeEncoded _),
     "q_dedup_exact_encoded" -> (dedupExactEncoded _),
     "q_dedup_minhash_encoded" -> (dedupMinhashEncoded _),

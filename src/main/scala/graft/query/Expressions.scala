@@ -1036,7 +1036,8 @@ case class MinHashRowsGenerator(docIds: Expression, data: Expression,
   override def elementSchema: StructType = StructType(Seq(
     StructField("doc_id", StringType, nullable = false),
     StructField("grams", ArrayType(LongType, containsNull = false), nullable = false),
-    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("n_tok", IntegerType, nullable = false)))
   override def prettyName: String = "minhash_rows"
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val ids = docIds.eval(input).asInstanceOf[Array[Byte]]
@@ -1067,7 +1068,7 @@ case class MinHashRowsGenerator(docIds: Expression, data: Expression,
           if (nToks(row) >= shingleN) {
             val g = if (collectGrams) UnsafeArrayData.fromPrimitiveArray(grams(row)) else empty
             return new GenericInternalRow(Array[Any](id, g,
-              UnsafeArrayData.fromPrimitiveArray(sigs(row))))
+              UnsafeArrayData.fromPrimitiveArray(sigs(row)), nToks(row)))
           }
         }
         null

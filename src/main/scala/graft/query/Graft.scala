@@ -316,6 +316,24 @@ object Graft {
       gramRowsEncoded(chunks, n).select(col("doc_id"), col("source").as("__bk"), col("grams")),
       minInter, maxPostings)
 
+  /** Gopher-style within-document repetition scoring over the ENCODED
+    * table: duplicate-n-gram ratio per document computed from the same
+    * rolling-window gram kernel the dedup suite streams off compressed
+    * chunks (MinHashMatch with zero signature lanes) — distinct grams =
+    * size of the per-row sorted-distinct gram set, total grams = n_tok −
+    * (n−1) from the kernel's token count. The quality filter every
+    * training pipeline runs, with no decoded token array in the plan.
+    */
+  def repetitionScoresEncoded(chunks: DataFrame, n: Int = 3,
+                              maxDupRatio: Double = 0.05): DataFrame =
+    minhashRowsEncoded(chunks, shingleN = n, numHashes = 0, seed = 0L)
+      .select(col("doc_id"),
+        (col("n_tok") - (n - 1)).cast("long").as("total_grams"),
+        size(col("grams")).cast("long").as("distinct_grams"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("distinct_grams").cast("double") / col("total_grams"))
+      .withColumn("repetitive", col("dup_ratio") > maxDupRatio)
+
   /** Benchmark decontamination over the ENCODED table: per-doc distinct
     * shingle-hash sets stream off the compressed chunks (MinHashMatch with
     * zero signature lanes — gram collection only); the broadcast probe +

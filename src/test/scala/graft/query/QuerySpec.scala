@@ -523,6 +523,24 @@ class QuerySpec extends AnyFunSuite {
       "encoded-domain n-gram Jaccard pairs differ from decoded-domain")
   }
 
+  test("compressed-domain repetition scores equal the decoded-domain scores per codec") {
+    val want = graft.pipeline.TextAnalysis.repetitionScores(
+      input.toDF().withColumn("doc_id", col("doc_id").cast("string")), n = 3)
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val table = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))).toDF()
+      val got = Graft.repetitionScoresEncoded(table, n = 3)
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: encoded-domain repetition scores differ from decoded-domain")
+    }
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)).toDF()
+    val gotAuto = Graft.repetitionScoresEncoded(auto, n = 3)
+    assert(want.except(gotAuto).isEmpty && gotAuto.except(want).isEmpty,
+      "auto-codec encoded-domain repetition scores differ from decoded-domain")
+    val plan = gotAuto.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("minhash_rows") && !plan.contains("decode_row"), plan)
+  }
+
   test("rowMeta reads (doc_id, source, n_tok) off the encoded table with zero decode, per codec") {
     val want = input.toDF().select(col("doc_id").cast("string").as("doc_id"),
       col("source"), size(col("tokens")).as("n_tok"))
