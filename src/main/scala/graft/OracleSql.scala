@@ -101,6 +101,28 @@ object OracleSql {
        |FROM __keep k LEFT JOIN __sums s USING (doc_id)""".stripMargin
   }
 
+  /** Compressed-domain token scrubbing (encode.Scrub semantics): every
+    * banned word's token id maps to unk's id; per-document fingerprint is
+    * (count, sum, position-weighted sum) — the positional term makes the
+    * check order-sensitive. Grouping __tok reproduces the tokenizer's
+    * population exactly (documents with zero words never become TokenRows).
+    */
+  def scrubDecodeSql(bannedWords: Seq[String], unkWord: String): String = {
+    val inList = bannedWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH $tokenizeCtes,
+       |__ban AS MATERIALIZED (SELECT id FROM __vocab WHERE w IN ($inList)),
+       |__unk AS MATERIALIZED (SELECT id FROM __vocab WHERE w = '$unkWord'),
+       |__m AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN tok IN (SELECT id FROM __ban)
+       |         THEN (SELECT id FROM __unk) ELSE tok END AS tok
+       |  FROM __tok)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  CAST(sum(tok) AS BIGINT) AS tok_sum,
+       |  CAST(sum(CAST(tok AS BIGINT) * i) AS BIGINT) AS pos_sum
+       |FROM __m GROUP BY doc_id""".stripMargin
+  }
+
   /** SimHash near-dup pairs (Dedup.simhashPairs semantics): unigram
     * splitmix64 → 64-bit majority signature → 4×16-bit band buckets →
     * exact Hamming ≤ maxHamming.

@@ -333,6 +333,28 @@ object Queries {
     Graft.repetitionScoresEncoded(autoChunks(spark, dir))
       .withColumn("doc_id", col("doc_id").cast("bigint"))
 
+  /** Compressed-domain token SCRUBBING (encode.Scrub): the blocklist set
+    * {dup, spark, vector} is replaced by unk(=id("table")) directly over the
+    * encoded chunk table — clean chunks pass through byte-identical via the
+    * zone-map + bloom gate, RLE rewrites in the run domain, dict
+    * re-normalizes in the index domain, the rest re-encode canonically.
+    * The result is decoded and fingerprinted per document (count, sum, and
+    * position-weighted sum — order-sensitive, so a token swapped or moved
+    * fails the oracle); DuckDB reproduces the remap in the word domain.
+    */
+  def scrubDecode(spark: SparkSession, dir: String): DataFrame = {
+    val v = vocab(spark, dir)
+    val scrubbed = graft.encode.Scrub.scrub(autoChunks(spark, dir),
+      Seq(v("dup"), v("spark"), v("vector")), v("table")).toDF()
+    EncodeJob.decodeDf(scrubbed).select(
+      col("doc_id").cast("bigint").as("doc_id"),
+      col("n_tok").cast("bigint").as("n_tok"),
+      expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("tok_sum"),
+      expr("aggregate(tokens, named_struct('s', 0L, 'i', 1L), " +
+        "(acc, x) -> named_struct('s', acc.s + CAST(x AS BIGINT) * acc.i, 'i', acc.i + 1L), " +
+        "acc -> acc.s)").as("pos_sum"))
+  }
+
   /** Late-materialized SAMPLING: the deterministic mixture-sampling
     * predicate (splitmix64(doc_id) mod 100 vs per-source rate) filters the
     * encoded view BEFORE any decode, so only surviving rows pay decode_row —
@@ -448,6 +470,8 @@ object Queries {
     "q_length_pct_encoded" -> PipelineQueries.oracles("q_length_percentiles"),
     "q_pack_sequences_encoded" -> PipelineQueries.oracles("q_pack_sequences"),
     "q_repetition_encoded" -> PipelineQueries.oracles("q_repetition_scores"),
+    "q_scrub_decode" ->
+      OracleSql.scrubDecodeSql(Seq("dup", "spark", "vector"), "table"),
     "q_sample_decode_encoded" ->
       OracleSql.sampledDecodeSql((0 to 4).map(i => s"src$i"), 80, 30),
     "q_sql_text_pushdown" ->
@@ -480,6 +504,7 @@ object Queries {
     "q_length_pct_encoded" -> (lengthPercentilesEncoded _),
     "q_pack_sequences_encoded" -> (packSequencesEncoded _),
     "q_repetition_encoded" -> (repetitionScoresEncoded _),
+    "q_scrub_decode" -> (scrubDecode _),
     "q_sample_decode_encoded" -> (sampleDecodeEncoded _),
     "q_dedup_exact_encoded" -> (dedupExactEncoded _),
     "q_dedup_minhash_encoded" -> (dedupMinhashEncoded _),

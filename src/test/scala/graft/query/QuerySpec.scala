@@ -541,6 +541,39 @@ class QuerySpec extends AnyFunSuite {
     assert(plan.contains("minhash_rows") && !plan.contains("decode_row"), plan)
   }
 
+  test("compressed-domain scrub equals decoded-domain remap per codec; gates pass clean chunks byte-identical") {
+    val banned = Seq(vocab("dup"), vocab("spark"), vocab("vector"))
+    val unk = vocab("table")
+    val want = input.toDF().select(col("doc_id"),
+      transform(col("tokens"),
+        t => when(t.isin(banned: _*), lit(unk)).otherwise(t)).as("tokens"))
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw", "auto")) {
+      val opts =
+        if (codecName == "auto") EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)
+        else EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))
+      val table = EncodeJob.encode(input, opts).toDF()
+      val scrubbed = graft.encode.Scrub.scrub(table, banned, unk).toDF()
+      val got = EncodeJob.decodeDf(scrubbed).select(col("doc_id"), col("tokens"))
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: scrubbed decode differs from decoded-domain remap")
+      // read-side cross-check: the blocklist scan finds nothing after scrubbing,
+      // and every former hit now matches the unk token
+      assert(Graft.scanSet(scrubbed, banned).isEmpty,
+        s"$codecName: banned tokens survive scrub")
+      val wantUnk = want.filter(array_contains(col("tokens"), unk)).select("doc_id")
+      val gotUnk = Graft.scanSet(scrubbed, Seq(unk))
+      assert(wantUnk.except(gotUnk).isEmpty && gotUnk.except(wantUnk).isEmpty,
+        s"$codecName: unk-token scan on scrubbed table differs from oracle")
+      // zone-map gate: a banned set outside the token domain touches nothing
+      val maxId = vocab.values.max
+      val untouched = graft.encode.Scrub.scrub(table, Seq(maxId + 7, maxId + 9), unk).toDF()
+      val lhs = untouched.select("chunk_id", "codec", "crc")
+      val rhs = table.select("chunk_id", "codec", "crc")
+      assert(lhs.except(rhs).isEmpty && rhs.except(lhs).isEmpty,
+        s"$codecName: clean chunks did not pass through byte-identical")
+    }
+  }
+
   test("rowMeta reads (doc_id, source, n_tok) off the encoded table with zero decode, per codec") {
     val want = input.toDF().select(col("doc_id").cast("string").as("doc_id"),
       col("source"), size(col("tokens")).as("n_tok"))

@@ -270,6 +270,41 @@ object Soak {
         }, 2000)
     }
 
+    // compressed-domain scrub: per-codec chunk rewrite vs the decoded remap
+    // oracle — decode(scrub(chunk)) must be the element-wise banned→unk map,
+    // the rewritten chunk must pass its own crc + decode, and the read-side
+    // SetMatch kernels must see no banned token afterwards
+    val genUnk: Gen[Int] = Gen.choose(-5, 55)
+    for (codec <- Codecs.all) {
+      check(s"scrub-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks), genSet, genUnk) { (rowsL, setRaw, unk) =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val sorted = SetMatch.sortedSet(setRaw)
+            val ids = rows.indices.map(i => s"d$i").toArray
+            val c = graft.format.ChunkOps.build(1L, 0, ids, "s",
+              TokenRows.ofArrays(rows), forceCodec = Some(codec.name))
+            val sc = graft.encode.Scrub.scrubChunk(c, sorted, unk)
+            val want = rows.map(_.map(v => if (SetMatch.contains(sorted, v)) unk else v))
+            val decoded = graft.format.ChunkOps.decodeAll(sc).toIndexedSeq
+            val roundTrip = decoded.length == rows.length &&
+              decoded.indices.forall(i => decoded(i).doc_id == ids(i) &&
+                java.util.Arrays.equals(decoded(i).tokens, want(i)))
+            val scHeader = sc.symtab
+            val scOffs = graft.format.Offsets.unpack(sc.offsets, sc.row_count)
+            val noBanned = sorted.isEmpty || SetMatch.contains(sorted, unk) ||
+              rows.indices.forall { i =>
+                !SetMatch.evalRow(sc.codec, scHeader, sc.data, scOffs(i), scOffs(i + 1), sorted)
+              }
+            roundTrip && noBanned
+          }
+        }, 2000)
+    }
+
     // compressed-domain token histogram: per-codec CountMatch kernels vs the
     // decoded count oracle — exact (token, count) multiset equality per chunk
     for (codec <- Codecs.all) {
