@@ -333,6 +333,34 @@ object Queries {
     Graft.repetitionScoresEncoded(autoChunks(spark, dir))
       .withColumn("doc_id", col("doc_id").cast("bigint"))
 
+  /** Chunk COMPACTION round trip (encode.Compact): the documents table is
+    * encoded as four independent WAVES (disjoint doc_id slices with distinct
+    * job tags — the small-file debris shape streaming micro-batches and
+    * resume waves leave behind: several sub-target chunks per (bucket,
+    * source) group), then the union compacts back to target-size chunks
+    * WITHOUT decoding — FSST/RLE/raw/packed planes byte-splice under their
+    * shared headers, dict chunks union-merge in the index domain — and the
+    * decoded result is held to the same all-rows oracle as
+    * q_roundtrip_decode (the hash join drops any corrupted row).
+    */
+  def compactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val (input, _) = Tokenize.documents(spark, dir)
+    val waves = (0 until 4).map { w =>
+      val slice = input.filter((r: graft.format.TokenRow) =>
+        java.lang.Long.remainderUnsigned(
+          graft.pipeline.Hashing.mix64(r.doc_id.hashCode.toLong), 4L) == w.toLong)
+      EncodeJob.encode(slice, EncodeOptions(numBuckets = 8, jobTag = w.toLong)).toDF()
+    }
+    val small = waves.reduce(_ unionByName _)
+    val compacted = graft.encode.Compact.compact(small).toDF()
+    val d = EncodeJob.decodeDf(compacted).select(col("doc_id"), col("n_tok"),
+      xxhash64(col("tokens")).as("__h"))
+    val i = input.toDF().select(col("doc_id"), xxhash64(col("tokens")).as("__h"))
+    d.join(i, Seq("doc_id", "__h"))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_tok").cast("bigint").as("n_tok"))
+  }
+
   /** Compressed-domain token SCRUBBING (encode.Scrub): the blocklist set
     * {dup, spark, vector} is replaced by unk(=id("table")) directly over the
     * encoded chunk table — clean chunks pass through byte-identical via the
@@ -472,6 +500,8 @@ object Queries {
     "q_repetition_encoded" -> PipelineQueries.oracles("q_repetition_scores"),
     "q_scrub_decode" ->
       OracleSql.scrubDecodeSql(Seq("dup", "spark", "vector"), "table"),
+    "q_compact_roundtrip" ->
+      s"SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tok FROM documents",
     "q_sample_decode_encoded" ->
       OracleSql.sampledDecodeSql((0 to 4).map(i => s"src$i"), 80, 30),
     "q_sql_text_pushdown" ->
@@ -505,6 +535,7 @@ object Queries {
     "q_pack_sequences_encoded" -> (packSequencesEncoded _),
     "q_repetition_encoded" -> (repetitionScoresEncoded _),
     "q_scrub_decode" -> (scrubDecode _),
+    "q_compact_roundtrip" -> (compactRoundtrip _),
     "q_sample_decode_encoded" -> (sampleDecodeEncoded _),
     "q_dedup_exact_encoded" -> (dedupExactEncoded _),
     "q_dedup_minhash_encoded" -> (dedupMinhashEncoded _),

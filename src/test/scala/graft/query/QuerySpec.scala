@@ -574,6 +574,53 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("chunk compaction merges small chunks without decode per codec; idempotent; read-side intact") {
+    import spark.implicits._
+    val want = input.toDF().select(col("doc_id"), col("tokens"))
+    val rowsBySource = input.collect().groupBy(_.source).toSeq.sortBy(_._1)
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw", "auto")) {
+      // per-document single-row chunks, fsst headers shared per (bucket,
+      // source) through the cache exactly as the encode reduce shares them —
+      // the debris shape a row-granular ingest would leave behind
+      val cache = scala.collection.mutable.Map.empty[(Int, String), Array[Byte]]
+      var seq = 0L
+      val built = rowsBySource.flatMap { case (source, docs) =>
+        docs.sortBy(_.doc_id).map { d =>
+          seq += 1
+          graft.format.ChunkOps.build(seq, 0, Array(d.doc_id), source,
+            graft.core.TokenRows.ofArrays(IndexedSeq(d.tokens)),
+            if (codecName == "auto") None else Some(codecName), cache)
+        }
+      }
+      val small = spark.createDataset(built).toDF().cache()
+      val compacted = graft.encode.Compact.compact(small).toDF().cache()
+      val (nSmall, nComp) = (small.count(), compacted.count())
+      assert(nComp < nSmall, s"$codecName: compaction did not shrink ($nSmall -> $nComp chunks)")
+      // conservation of rows/tokens across the merge
+      val Array(smallAgg, compAgg) = Seq(small, compacted).map(df =>
+        df.agg(sum("row_count"), sum("n_tokens")).collect()(0)).toArray
+      assert(smallAgg == compAgg, s"$codecName: row/token totals changed: $smallAgg -> $compAgg")
+      val got = EncodeJob.decodeDf(compacted).select(col("doc_id"), col("tokens"))
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: compacted decode differs from input")
+      // idempotent: compacting a compacted table changes nothing (same crcs)
+      val again = graft.encode.Compact.compact(compacted).toDF()
+      assert(again.select("crc").except(compacted.select("crc")).isEmpty &&
+        compacted.select("crc").except(again.select("crc")).isEmpty,
+        s"$codecName: compaction is not idempotent")
+      // read-side cross-check: compressed-domain scan over compacted chunks
+      if (codecName == "auto") {
+        val banned = Seq(vocab("dup"), vocab("vector"))
+        val wantScan = want.filter(array_contains(col("tokens"), banned.head) ||
+          array_contains(col("tokens"), banned(1))).select("doc_id")
+        val gotScan = Graft.scanSet(compacted, banned)
+        assert(wantScan.except(gotScan).isEmpty && gotScan.except(wantScan).isEmpty,
+          "auto: set scan over compacted chunks differs from raw oracle")
+      }
+      small.unpersist(); compacted.unpersist()
+    }
+  }
+
   test("rowMeta reads (doc_id, source, n_tok) off the encoded table with zero decode, per codec") {
     val want = input.toDF().select(col("doc_id").cast("string").as("doc_id"),
       col("source"), size(col("tokens")).as("n_tok"))

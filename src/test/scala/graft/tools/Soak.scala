@@ -305,6 +305,40 @@ object Soak {
         }, 2000)
     }
 
+    // compressed-domain compaction: splice/merge small sibling chunks and
+    // require the decoded (doc_id -> tokens) map unchanged, totals conserved,
+    // and every output chunk self-consistent (decodeAll re-checks the crc).
+    // fsst chunks share one trained header via the cache (the encode reduce
+    // invariant that makes byte-splicing apply); dict chunks deliberately get
+    // per-chunk dictionaries so the union-merge path is exercised.
+    for (codec <- Codecs.all) {
+      check(s"compact-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(40, genToks), Gen.choose(1, 8),
+          Gen.choose(30L, 400L)) { (rowsL, perChunk, target) =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible || rows.isEmpty) true
+          else {
+            val cache = scala.collection.mutable.Map.empty[(Int, String), Array[Byte]]
+            var next = 0
+            val chunks = rows.grouped(perChunk).zipWithIndex.map { case (g, ci) =>
+              val ids = g.indices.map { _ => next += 1; s"d$next" }.toArray
+              graft.format.ChunkOps.build(ci.toLong, 0, ids, "s",
+                TokenRows.ofArrays(g), Some(codec.name), cache)
+            }.toIndexedSeq
+            val out = graft.encode.Compact.compactGroup(chunks, target, 13)
+            val decoded = out.flatMap(c => graft.format.ChunkOps.decodeAll(c).toSeq)
+            val wantRows = rows.indices.map(i => s"d${i + 1}" -> rows(i)).toMap
+            decoded.length == rows.length &&
+              out.map(_.row_count.toLong).sum == rows.length.toLong &&
+              out.map(_.n_tokens).sum == rows.map(_.length.toLong).sum &&
+              decoded.forall(t => java.util.Arrays.equals(t.tokens, wantRows(t.doc_id)))
+          }
+        }, 2000)
+    }
+
     // compressed-domain token histogram: per-codec CountMatch kernels vs the
     // decoded count oracle — exact (token, count) multiset equality per chunk
     for (codec <- Codecs.all) {
