@@ -283,6 +283,25 @@ object PlanAudit {
         s"sampled decode must run above the sample filter (decode@$di filter@$si)")
       println("sampleDecode: sample_bucket filters below decode_row — survivors-only decode")
     }
+
+    println("=== [13] round-5 write-side maintenance ops: scrub + compaction plan shapes ===")
+    locally {
+      // scrub: a per-chunk typed map — embarrassingly parallel, NO exchange
+      // anywhere in the plan (the gate + rewrite happen inside the map)
+      val sc = graft.encode.Scrub.scrub(chunks, Seq(3, 5), 0).toDF()
+      val scp = sc.queryExecution.executedPlan.toString
+      require(!scp.contains("Exchange"),
+        s"scrub must be shuffle-free (per-chunk map):\n$scp")
+      println("scrub: typed per-chunk map, zero exchanges")
+
+      // compaction: exactly ONE exchange (the (bucket, source, codec)
+      // groupByKey that co-locates siblings); the merge itself is local
+      val cp = graft.encode.Compact.compact(chunks).toDF()
+        .queryExecution.executedPlan.toString
+      require(cp.sliding("Exchange".length).count(_ == "Exchange") == 1,
+        s"compact must shuffle exactly once (sibling co-location):\n$cp")
+      println("compact: one exchange (sibling co-location), local splice/merge")
+    }
     spark.stop()
   }
 
