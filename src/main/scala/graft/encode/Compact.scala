@@ -23,10 +23,13 @@ import scala.collection.mutable.ArrayBuffer
   *     trains one symbol table per (bucket, source) group and reuses it for
   *     every chunk of the group (ChunkOps.build's fsstHeaderCache) — so the
   *     dominant codec compacts as a pure splice;
-  *   - RLE/raw headers are empty; FoR/bitpack headers are one width byte
-  *     (equal widths splice; unequal widths stay separate — re-packing
-  *     across widths is possible but not worth the code for a maintenance
-  *     pass);
+  *   - RLE/raw headers are empty; FoR/bitpack headers are one width byte:
+  *     equal widths splice, unequal widths re-pack the narrower members at
+  *     the group-maximum width in the PACKED domain (FoR's per-row zigzag
+  *     base copies through untouched). The max width is canonical — the
+  *     fresh-encode width is bitsFor(max row range / max token), and
+  *     bitsFor∘max = max∘bitsFor — so equality pushdown's canonical-byte
+  *     compare stays sound;
   *   - DICT chunks merge in the INDEX domain even when their dictionaries
   *     differ: the merged dictionary is the sorted distinct union (exact,
   *     because per-chunk dictionaries are the chunks' exact distinct sets),
@@ -60,11 +63,16 @@ object Compact {
                    maxRows: Int): Seq[EncodedChunk] = {
     val sorted = group.sortBy(c => (c.chunk_id, c.first_doc_id))
     if (sorted.isEmpty) return Nil
-    if (sorted.head.codec == "dict") return packDict(sorted, targetTokens, maxRows)
-    // splice only across byte-identical headers
-    sorted.groupBy(c => scala.collection.immutable.ArraySeq.unsafeWrapArray(c.symtab))
-      .toSeq.sortBy(_._2.head.chunk_id)
-      .flatMap { case (_, same) => packSplice(same, targetTokens, maxRows) }
+    sorted.head.codec match {
+      case "dict" => packDict(sorted, targetTokens, maxRows)
+      case "for" | "bitpack" => packWidths(sorted, targetTokens, maxRows)
+      case _ =>
+        // splice only across byte-identical headers (fsst siblings share
+        // theirs within an encode run; rle/raw headers are empty)
+        sorted.groupBy(c => scala.collection.immutable.ArraySeq.unsafeWrapArray(c.symtab))
+          .toSeq.sortBy(_._2.head.chunk_id)
+          .flatMap { case (_, same) => packSplice(same, targetTokens, maxRows) }
+    }
   }
 
   /** Greedy packing of header-identical chunks; singletons pass through. */
@@ -131,6 +139,85 @@ object Compact {
       }
     }
     ChunkStatsRow(dist, minT, maxT, maxRun, esc, bloom, escaped)
+  }
+
+  /** FoR/bitpack chunks merge across DIFFERENT widths: the merged width is
+    * the member maximum, which is CANONICAL — the fresh-encode width is
+    * bitsFor(max row range / max token) and bitsFor∘max = max∘bitsFor — so
+    * equality pushdown's canonical-byte compare stays sound. Equal-width
+    * runs splice; narrower members repack their packed values (FoR: the
+    * per-row zigzag base copies through, only the delta plane re-packs) in
+    * the packed domain, never materializing tokens.
+    */
+  private def packWidths(cs: IndexedSeq[EncodedChunk], targetTokens: Long,
+                         maxRows: Int): Seq[EncodedChunk] = {
+    val out = ArrayBuffer.empty[EncodedChunk]
+    val pend = ArrayBuffer.empty[EncodedChunk]
+    var toks = 0L
+    var rows = 0L
+    def flush(): Unit = {
+      if (pend.isEmpty) ()
+      else if (pend.length == 1) out += pend.head
+      else {
+        val w = pend.iterator.map(c => c.symtab(0) & 0xff).max
+        if (pend.forall(c => (c.symtab(0) & 0xff) == w)) out += splice(pend.toIndexedSeq)
+        else out += repackWidths(pend.toIndexedSeq, w)
+      }
+      pend.clear(); toks = 0L; rows = 0L
+    }
+    for (c <- cs) {
+      if (pend.nonEmpty &&
+        (toks + c.n_tokens > targetTokens || rows + c.row_count > maxRows)) flush()
+      pend += c; toks += c.n_tokens; rows += c.row_count
+    }
+    flush()
+    out.toSeq
+  }
+
+  private def repackWidths(cs: IndexedSeq[EncodedChunk], newW: Int): EncodedChunk = {
+    val head = cs.head
+    val isFor = head.codec == "for"
+    val data = new ByteWriter(cs.iterator.map(_.data.length).sum + 64)
+    val ids = new ByteWriter(cs.iterator.map(_.doc_ids.length).sum)
+    val ends = ArrayBuffer.empty[Int]
+    var rowCount = 0L
+    var nTokens = 0L
+    for (c <- cs) {
+      val oldW = c.symtab(0) & 0xff
+      val offs = Offsets.unpack(c.offsets, c.row_count)
+      if (oldW == newW) {
+        // width already right: rows splice through untouched
+        val base = data.size
+        data.writeBytes(c.data, 0, c.data.length)
+        var row = 0
+        while (row < c.row_count) { ends += base + offs(row + 1); row += 1 }
+      } else {
+        var row = 0
+        while (row < c.row_count) {
+          val r = new ByteReader(c.data, offs(row), offs(row + 1))
+          val n = r.readVarUInt()
+          data.writeVarUInt(n)
+          if (n > 0 && isFor) data.writeZigZag(r.readZigZag()) // per-row base
+          if (n > 0) {
+            val vals = BitPack.unpack(c.data, r.pos, n, oldW, v => v)
+            BitPack.pack(vals, 0, n, v => v, newW, data)
+          }
+          ends += data.size
+          row += 1
+        }
+      }
+      ids.writeBytes(c.doc_ids, 0, c.doc_ids.length)
+      rowCount += c.row_count
+      nTokens += c.n_tokens
+    }
+    val header = Array[Byte](newW.toByte)
+    val d = data.toBytes; val i = ids.toBytes
+    val o = Offsets.pack(ends.toArray)
+    head.copy(
+      symtab = header, data = d, offsets = o, doc_ids = i,
+      row_count = rowCount.toInt, n_tokens = nTokens,
+      stats = mergeStats(cs),
+      crc = ChunkOps.chunkCrc(d, header, o, i))
   }
 
   /** Dict chunks merge across DIFFERENT dictionaries: greedy packing bounded

@@ -609,13 +609,14 @@ class QuerySpec extends AnyFunSuite {
         compacted.select("crc").except(again.select("crc")).isEmpty,
         s"$codecName: compaction is not idempotent")
       // read-side cross-check: compressed-domain scan over compacted chunks
-      if (codecName == "auto") {
+      // (covers the width-repacked for/bitpack and union-merged dict paths)
+      if (Seq("auto", "for", "bitpack", "dict").contains(codecName)) {
         val banned = Seq(vocab("dup"), vocab("vector"))
         val wantScan = want.filter(array_contains(col("tokens"), banned.head) ||
           array_contains(col("tokens"), banned(1))).select("doc_id")
         val gotScan = Graft.scanSet(compacted, banned)
         assert(wantScan.except(gotScan).isEmpty && gotScan.except(wantScan).isEmpty,
-          "auto: set scan over compacted chunks differs from raw oracle")
+          s"$codecName: set scan over compacted chunks differs from raw oracle")
       }
       small.unpersist(); compacted.unpersist()
     }
