@@ -22,7 +22,10 @@ import scala.collection.mutable.ArrayBuffer
   *   - FSST siblings share header bytes BY CONSTRUCTION — the encode reduce
   *     trains one symbol table per (bucket, source) group and reuses it for
   *     every chunk of the group (ChunkOps.build's fsstHeaderCache) — so the
-  *     dominant codec compacts as a pure splice;
+  *     dominant codec compacts as a pure splice within one run; ACROSS runs
+  *     (streaming micro-batches train per-batch tables) fsst members
+  *     transcode onto the head member's table, which is canonical by the
+  *     definition of greedy-encode-under-a-given-header (see packFsst);
   *   - RLE/raw headers are empty; FoR/bitpack headers are one width byte:
   *     equal widths splice, unequal widths re-pack the narrower members at
   *     the group-maximum width in the PACKED domain (FoR's per-row zigzag
@@ -66,13 +69,95 @@ object Compact {
     sorted.head.codec match {
       case "dict" => packDict(sorted, targetTokens, maxRows)
       case "for" | "bitpack" => packWidths(sorted, targetTokens, maxRows)
+      case "fsst" => packFsst(sorted, targetTokens, maxRows)
       case _ =>
-        // splice only across byte-identical headers (fsst siblings share
-        // theirs within an encode run; rle/raw headers are empty)
+        // rle/raw headers are empty — everything splices
         sorted.groupBy(c => scala.collection.immutable.ArraySeq.unsafeWrapArray(c.symtab))
           .toSeq.sortBy(_._2.head.chunk_id)
           .flatMap { case (_, same) => packSplice(same, targetTokens, maxRows) }
     }
+  }
+
+  /** FSST chunks: header-identical members byte-splice (siblings of one
+    * encode run share their symbol table via the reduce's header cache);
+    * cross-header members — the cross-batch debris of a streaming ingest,
+    * where every micro-batch trains its own table — TRANSCODE: their rows
+    * decode and re-encode greedily under the HEAD member's table. Greedy
+    * encode under a given header is the canonical form equality pushdown
+    * memcmps against, so the merged chunk stays sound; escapes cover any
+    * token the head's table lacks (compression may give back a little on
+    * transcoded rows — chunks that are already at target never enter).
+    */
+  private def packFsst(cs: IndexedSeq[EncodedChunk], targetTokens: Long,
+                       maxRows: Int): Seq[EncodedChunk] = {
+    val out = ArrayBuffer.empty[EncodedChunk]
+    val pend = ArrayBuffer.empty[EncodedChunk]
+    var toks = 0L
+    var rows = 0L
+    def flush(): Unit = {
+      if (pend.isEmpty) ()
+      else if (pend.length == 1) out += pend.head
+      else if (pend.forall(c => java.util.Arrays.equals(c.symtab, pend.head.symtab)))
+        out += splice(pend.toIndexedSeq)
+      else out += transcodeFsst(pend.toIndexedSeq)
+      pend.clear(); toks = 0L; rows = 0L
+    }
+    for (c <- cs) {
+      if (pend.nonEmpty &&
+        (toks + c.n_tokens > targetTokens || rows + c.row_count > maxRows)) flush()
+      pend += c; toks += c.n_tokens; rows += c.row_count
+    }
+    flush()
+    out.toSeq
+  }
+
+  private def transcodeFsst(cs: IndexedSeq[EncodedChunk]): EncodedChunk = {
+    val head = cs.head
+    val data = new ByteWriter(cs.iterator.map(_.data.length).sum + 64)
+    val ids = new ByteWriter(cs.iterator.map(_.doc_ids.length).sum)
+    val ends = ArrayBuffer.empty[Int]
+    val enc = FsstTokenCodec.encoder(head.symtab)
+    var rowCount = 0L
+    var nTokens = 0L
+    for (c <- cs) {
+      val offs = Offsets.unpack(c.offsets, c.row_count)
+      if (java.util.Arrays.equals(c.symtab, head.symtab)) {
+        val base = data.size
+        data.writeBytes(c.data, 0, c.data.length)
+        var row = 0
+        while (row < c.row_count) { ends += base + offs(row + 1); row += 1 }
+      } else {
+        val dec = FsstTokenCodec.decoder(c.symtab)
+        var row = 0
+        while (row < c.row_count) {
+          enc.encode(dec.decode(c.data, offs(row), offs(row + 1)), data)
+          ends += data.size
+          row += 1
+        }
+      }
+      ids.writeBytes(c.doc_ids, 0, c.doc_ids.length)
+      rowCount += c.row_count
+      nTokens += c.n_tokens
+    }
+    val d = data.toBytes; val i = ids.toBytes
+    val o = Offsets.pack(ends.toArray)
+    // value-level stats merge as usual; escape stats come from the members
+    // whose bytes spliced through (incl. head) plus the transcoding encoder
+    val st = mergeStats(cs.filter(c => java.util.Arrays.equals(c.symtab, head.symtab)))
+    val stAll = mergeStats(cs)
+    val escBloom = new Array[Byte](ChunkStats.BloomBytes)
+    var bi = 0
+    while (bi < escBloom.length) {
+      escBloom(bi) = (st.escaped_bitmap(bi) |
+        (if (enc.escapedBloom == null) 0 else enc.escapedBloom(bi))).toByte
+      bi += 1
+    }
+    head.copy(
+      data = d, offsets = o, doc_ids = i,
+      row_count = rowCount.toInt, n_tokens = nTokens,
+      stats = stAll.copy(escape_cnt = st.escape_cnt + enc.escapeCount,
+        escaped_bitmap = escBloom),
+      crc = ChunkOps.chunkCrc(d, head.symtab, o, i))
   }
 
   /** Greedy packing of header-identical chunks; singletons pass through. */

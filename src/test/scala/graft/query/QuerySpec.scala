@@ -620,6 +620,32 @@ class QuerySpec extends AnyFunSuite {
       }
       small.unpersist(); compacted.unpersist()
     }
+    // cross-batch fsst debris: per-chunk symbol tables (no shared header
+    // cache — the streaming-ingest shape) force the TRANSCODE merge; decode
+    // equality and the compressed contains scan must hold on merged chunks
+    locally {
+      var seq = 0L
+      val built = rowsBySource.flatMap { case (source, docs) =>
+        docs.sortBy(_.doc_id).map { d =>
+          seq += 1
+          graft.format.ChunkOps.build(seq, 0, Array(d.doc_id), source,
+            graft.core.TokenRows.ofArrays(IndexedSeq(d.tokens)), Some("fsst"), null)
+        }
+      }
+      val small = spark.createDataset(built).toDF()
+      val compacted = graft.encode.Compact.compact(small).toDF().cache()
+      assert(compacted.count() < built.length,
+        "cross-header fsst debris did not merge via transcode")
+      val got = EncodeJob.decodeDf(compacted).select(col("doc_id"), col("tokens"))
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        "fsst transcode: compacted decode differs from input")
+      val parts = Seq(Seq(vocab("value"), vocab("table")))
+      val wantScan = input.toDF()
+        .filter(Graft.containsTokens(col("tokens"), parts.head)).select("doc_id")
+      val gotScan = Graft.scanPattern(compacted, PatternMode.Contains, parts)
+      assert(wantScan.except(gotScan).isEmpty && gotScan.except(wantScan).isEmpty,
+        "fsst transcode: contains scan over merged chunks differs from raw oracle")
+    }
   }
 
   test("rowMeta reads (doc_id, source, n_tok) off the encoded table with zero decode, per codec") {

@@ -314,14 +314,19 @@ object Soak {
     for (codec <- Codecs.all) {
       check(s"compact-vs-oracle-${codec.name}",
         Prop.forAll(Gen.listOfN(40, genToks), Gen.choose(1, 8),
-          Gen.choose(30L, 400L)) { (rowsL, perChunk, target) =>
+          Gen.choose(30L, 400L), Gen.oneOf(true, false)) { (rowsL, perChunk, target, share) =>
           val rows = rowsL.toIndexedSeq
           val stats = ChunkStats.compute(rows)
           val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
             !((codec eq BitPackCodec) && stats.minTok < 0)
           if (!eligible || rows.isEmpty) true
           else {
-            val cache = scala.collection.mutable.Map.empty[(Int, String), Array[Byte]]
+            // share=true: siblings of one encode run (fsst headers shared →
+            // splice); share=false: cross-batch debris (per-chunk tables →
+            // the fsst transcode path)
+            val cache = if (share)
+              scala.collection.mutable.Map.empty[(Int, String), Array[Byte]]
+            else null
             var next = 0
             val chunks = rows.grouped(perChunk).zipWithIndex.map { case (g, ci) =>
               val ids = g.indices.map { _ => next += 1; s"d$next" }.toArray
