@@ -42,6 +42,33 @@ class StreamingEncodeSpec extends AnyFunSuite {
     assert(manifest.filter(col("status") === "committed").count() == manifest.count())
   }
 
+  test("streaming micro-batch debris compacts across batches (cross-header fsst transcode)") {
+    import spark.implicits._
+    val (input, _) = Tokenize.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_compact").toString
+    input.repartition(4).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in").as[TokenRow]
+    val io = new ParquetTableIO(s"$dir/table")
+    // fsst forced: every micro-batch trains its own symbol tables, so the
+    // cross-batch debris can only merge through the transcode path
+    val q = StreamingEncode.start(stream, io, "sc1", s"$dir/ckpt",
+      graft.encode.EncodeOptions(numBuckets = 2, forceCodec = Some("fsst")))
+    q.awaitTermination(120000)
+    val small = io.readChunks(spark).toDF()
+    val nSmall = small.count()
+    val compacted = graft.encode.Compact.compact(small).toDF().cache()
+    val nComp = compacted.count()
+    assert(nComp < nSmall, s"cross-batch debris must merge ($nSmall -> $nComp chunks)")
+    // bit-identical decode after the merge
+    val decoded = EncodeJob.decodeDf(compacted)
+    assert(decoded.count() == input.count())
+    val bad = decoded.alias("d")
+      .join(input.toDF().alias("i"), Seq("doc_id"), "full_outer")
+      .filter(not(col("d.tokens") <=> col("i.tokens"))).count()
+    assert(bad == 0, "compacted streaming table must decode bit-identical")
+  }
+
   test("streaming restart resumes from checkpoint without duplicating batches") {
     import spark.implicits._
     val (input, _) = Tokenize.documents(spark, "/root/testdata/sf0.001")
