@@ -424,6 +424,46 @@ object Bench {
       val (nSmC, tSmC) = best(sampleSum(Graft.encodedRows(autoChunks)))
       val (nSmD, tSmD) = best(sampleSum(EncodeJob.decodeDf(autoChunks)))
       require(nSmC == nSmD, s"late-materialized sample disagrees with decode-all: $nSmC/$nSmD")
+      // EMBEDDING QUANTIZATION scan pair (round 5): brute-force ANN over the
+      // stored float32 table vs the int8-quantized form (1 B/dim codes +
+      // 8 B scale — pipeline.Quantize), each side reading its own parquet
+      // and scoring against the broadcast query vector. The quantized scan
+      // moves 4× fewer bytes and scores with integer dots. Result quality
+      // is REPORTED (top-10 overlap) rather than require()d: on isotropic
+      // synthetic vectors a legitimate boundary swap at rank 10 is possible.
+      val benchVecs = sys.env.getOrElse("SPARK_GRAFT_BENCH_VECS", "500000").toLong
+      val embPath = s"/tmp/graft_bench_emb_$benchVecs"
+      val qembPath = s"/tmp/graft_bench_emb_q_$benchVecs"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(qembPath))) {
+        val e = graft.spark.SyntheticData.embTable(spark, benchVecs, 64)
+        e.write.mode("overwrite").parquet(embPath)
+        graft.pipeline.Quantize.quantizeTable(e)
+          .write.mode("overwrite").parquet(qembPath)
+      }
+      import org.apache.spark.sql.functions.{broadcast, desc}
+      def annFloatTop10(): Seq[Long] = {
+        val e = spark.read.parquet(embPath)
+        val q = broadcast(e.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qe")))
+        e.filter(col("vec_id") =!= 0L).crossJoin(q)
+          .select(col("vec_id"), graft.pipeline.PipelineFunctions
+            .cosineSim(col("embedding"), col("qe")).as("c"))
+          .orderBy(desc("c"), col("vec_id")).limit(10)
+          .collect().toSeq.map(_.getLong(0))
+      }
+      def annQuantTop10(): Seq[Long] = {
+        val e = spark.read.parquet(qembPath)
+        val q = broadcast(e.filter(col("vec_id") === 0L).select(col("q").as("qq")))
+        e.filter(col("vec_id") =!= 0L).crossJoin(q)
+          .select(col("vec_id"), graft.pipeline.Quantize
+            .cosineSimI8(col("q"), col("qq")).as("c"))
+          .orderBy(desc("c"), col("vec_id")).limit(10)
+          .collect().toSeq.map(_.getLong(0))
+      }
+      val (annFSum, tAnnF) = best(annFloatTop10().sum)
+      val (annQSum, tAnnQ) = best(annQuantTop10().sum)
+      val annOverlap = annFloatTop10().toSet.intersect(annQuantTop10().toSet).size
+      require(annFSum != 0L && annQSum != 0L, "ANN scans returned no candidates")
       dictChunks.unpersist()
       rleChunks.unpersist()
       bpChunks.unpersist()
@@ -436,7 +476,7 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sum(col("n_tok"))).collect()(0).getLong(0)
       }
 
-      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"bigram_pairs":$nBgC,"sec_bigram_compressed":$tBgC%.3f,"sec_bigram_decode_group":$tBgD%.3f,"dedup_groups":$nDdC,"sec_dedup_hash_compressed":$tDdC%.3f,"sec_dedup_decode_group":$tDdD%.3f,"minhash_sig_xor":$nMhC,"sec_minhash_sig_compressed":$tMhC%.3f,"sec_minhash_sig_decoded":$tMhD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"pack_manifest_rows":$nPkC,"sec_pack_encoded":$tPkC%.3f,"sec_pack_decoded":$tPkD%.3f,"sample_tok_sum":$nSmC,"sec_sample_encoded":$tSmC%.3f,"sec_sample_decode_all":$tSmD%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
+      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"bigram_pairs":$nBgC,"sec_bigram_compressed":$tBgC%.3f,"sec_bigram_decode_group":$tBgD%.3f,"dedup_groups":$nDdC,"sec_dedup_hash_compressed":$tDdC%.3f,"sec_dedup_decode_group":$tDdD%.3f,"minhash_sig_xor":$nMhC,"sec_minhash_sig_compressed":$tMhC%.3f,"sec_minhash_sig_decoded":$tMhD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"pack_manifest_rows":$nPkC,"sec_pack_encoded":$tPkC%.3f,"sec_pack_decoded":$tPkD%.3f,"sample_tok_sum":$nSmC,"sec_sample_encoded":$tSmC%.3f,"sec_sample_decode_all":$tSmD%.3f,"ann_vecs":$benchVecs,"ann_top10_overlap":$annOverlap,"sec_ann_float_scan":$tAnnF%.3f,"sec_ann_quantized_scan":$tAnnQ%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
     }
 
     spark.stop()

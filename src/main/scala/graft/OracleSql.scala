@@ -293,6 +293,56 @@ object OracleSql {
        |ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, c.vec_id
        |LIMIT $k""".stripMargin
 
+  /** IVF-SQ8 (Quantize.ivfSq8Query semantics): same cell assignment and
+    * probe selection as ivfSignSql, but candidates are ranked by cosine in
+    * the INT8-QUANTIZED domain — codes recomputed from the floats exactly
+    * as quantize_i8 (round-half-away-from-zero via the floor form, scale =
+    * max|x|/127), inner products exact in double (codes ≤ 127). Emits the
+    * integer dot/norm triple, so the match is bit-exact.
+    */
+  def ivfSq8Sql(queryId: Long, k: Int, nlist: Int, nprobe: Int,
+                seed: Long, dims: Int = 64): String =
+    s"""WITH __sc(t, mask) AS (VALUES ${signCentroidValues(seed, nlist, dims)}),
+       |__dots AS MATERIALIZED (
+       |  SELECT e.vec_id, s.t,
+       |         list_sum(list_transform(range($dims), d ->
+       |           e.embedding[CAST(d AS INT) + 1] *
+       |           (CASE WHEN (s.mask >> CAST(d AS INT)) & 1 = 1 THEN 1.0 ELSE -1.0 END))) AS dot
+       |  FROM embeddings e, __sc s),
+       |__cell AS MATERIALIZED (
+       |  SELECT vec_id, t AS cell FROM (
+       |    SELECT vec_id, t, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, t) AS rn
+       |    FROM __dots) WHERE rn = 1),
+       |__probe AS (
+       |  SELECT t FROM (
+       |    SELECT t, row_number() OVER (ORDER BY dot DESC, t) AS rn
+       |    FROM __dots WHERE vec_id = $queryId) WHERE rn <= $nprobe),
+       |__qs AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS sc
+       |  FROM embeddings),
+       |__qt AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CASE WHEN sc = 0 THEN CAST(0 AS DOUBLE)
+       |           WHEN CAST(x AS DOUBLE) >= 0 THEN floor(CAST(x AS DOUBLE)/sc + 0.5)
+       |           ELSE -floor(-CAST(x AS DOUBLE)/sc + 0.5) END) AS q
+       |  FROM __qs),
+       |__qq AS (SELECT q AS qa FROM __qt WHERE vec_id = $queryId)
+       |SELECT b.vec_id,
+       |  CAST(list_inner_product(qa, b.q) AS BIGINT) AS dot_qq,
+       |  CAST(list_inner_product(qa, qa) AS BIGINT) AS norm_a,
+       |  CAST(list_inner_product(b.q, b.q) AS BIGINT) AS norm_b
+       |FROM __qt b
+       |JOIN __cell c ON c.vec_id = b.vec_id
+       |JOIN __probe p ON c.cell = p.t
+       |CROSS JOIN __qq
+       |WHERE b.vec_id <> $queryId
+       |ORDER BY list_inner_product(qa, b.q)
+       |           / sqrt(list_inner_product(qa, qa) * list_inner_product(b.q, b.q)) DESC,
+       |         b.vec_id
+       |LIMIT $k""".stripMargin
+
   /** Language-ID prediction histogram (TextAnalysis.langId semantics):
     * per-language stopword-profile scores, argmax with alphabetical-first
     * tie-break, 'und' when no profile matches. Profiles are read from

@@ -148,6 +148,43 @@ object PipelineQueries {
       .select(col("vec_id"))
   }
 
+  /** IVF-SQ8 — the production ANN layout at 100 TB: the cell-partitioned
+    * on-disk index (file-listing-time pruning via PartitionFilters, like
+    * q_ann_ivf_indexed) storing INT8 CODES instead of float32, so the
+    * probed scan also moves 4× fewer bytes and scores with integer dots.
+    * The oracle covers cell assignment + probe selection + the quantized
+    * ranking, emitting the exact integer dot/norm triple.
+    */
+  def annIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val path = s"/tmp/graft_ivf_sq8_${Integer.toHexString(dir.hashCode)}"
+    Quantize.ivfSq8IndexWrite(e, path, nlist = 16, seed = 13L)
+    val qEmb = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    Quantize.ivfSq8Query(spark, path, qEmb, k = 10,
+      nlist = 16, nprobe = 4, seed = 13L, excludeVecId = 0L)
+  }
+
+  /** Embedding-column COMPRESSION: symmetric per-vector int8 scalar
+    * quantization (pipeline.Quantize) — 1 B/dim codes + an 8 B scale vs
+    * float32's 4 B/dim. Emits per-vector code stats (exact integers) and the
+    * reconstruction-bound attestation |x − q·scale| ≤ scale/2; the oracle
+    * recomputes the codes from the same floats in DuckDB, so the quantizer
+    * is hash-checked value by value.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Quantize.quantizeStats(emb(spark, dir))
+
+  /** ANN top-k scored ENTIRELY in the quantized domain: integer dot
+    * products over 1-byte codes (cosine is scale-invariant, so no
+    * dequantize anywhere) — the 4× memory-traffic cut that bounds
+    * brute-force scoring at scale. Output carries the exact integer
+    * dot/norm triple, so the oracle match is bit-exact, not
+    * tolerance-based.
+    */
+  def annQuantized(spark: SparkSession, dir: String): DataFrame =
+    Quantize.bruteForceTopKQuantized(emb(spark, dir), queryId = 0L, k = 10)
+
   // --- text analysis -----------------------------------------------------
 
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
@@ -215,6 +252,9 @@ object PipelineQueries {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_embedding_near_dups" -> (embeddingNearDups _),
     "q_ann_brute_force" -> (annBruteForce _),
+    "q_embed_quantize" -> (embedQuantize _),
+    "q_ann_quantized" -> (annQuantized _),
+    "q_ann_ivf_sq8" -> (annIvfSq8 _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_indexed" -> (annIvfIndexed _),
@@ -408,6 +448,8 @@ object PipelineQueries {
     // identical semantics through the cell-partitioned on-disk index
     "q_ann_ivf_indexed" ->
       OracleSql.ivfSignSql(queryId = 0L, k = 10, nlist = 16, nprobe = 4, seed = 13L),
+    "q_ann_ivf_sq8" ->
+      OracleSql.ivfSq8Sql(queryId = 0L, k = 10, nlist = 16, nprobe = 4, seed = 13L),
     "q_dedup_simhash" -> OracleSql.simhashSql(maxHamming = 3),
     "q_fingerprint_pairs" -> OracleSql.fingerprintSql(k = 5, w = 4, minShared = 2),
     "q_lang_id" -> OracleSql.langIdSql(),
@@ -416,6 +458,62 @@ object PipelineQueries {
         | WHERE a.vec_id = 0 AND b.vec_id <> 0
         | ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
         | LIMIT 10""".stripMargin,
+    // int8 scalar quantization: the oracle recomputes the exact codes from
+    // the same floats — round-half-away-from-zero spelled as the floor form
+    // on BOTH sides so no engine rounding rule is in play; all outputs are
+    // integers except the recon bound, whose double-op sequence is identical
+    // on both sides.
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS sc
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id, sc, embedding,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN sc = 0 THEN 0
+        |           WHEN CAST(x AS DOUBLE) >= 0 THEN CAST(floor(CAST(x AS DOUBLE)/sc + 0.5) AS BIGINT)
+        |           ELSE -CAST(floor(-CAST(x AS DOUBLE)/sc + 0.5) AS BIGINT) END) AS q
+        |  FROM s
+        |)
+        |SELECT vec_id,
+        |  CAST(len(q) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_min(q) AS BIGINT) AS q_min,
+        |  CAST(list_max(q) AS BIGINT) AS q_max,
+        |  len(list_filter(embedding, x -> NOT (abs(CAST(x AS DOUBLE) -
+        |      (CASE WHEN sc = 0 THEN 0
+        |            WHEN CAST(x AS DOUBLE) >= 0 THEN floor(CAST(x AS DOUBLE)/sc + 0.5)
+        |            ELSE -floor(-CAST(x AS DOUBLE)/sc + 0.5) END) * sc)
+        |      <= sc * 0.5 + 1e-12))) = 0 AS recon_ok
+        |FROM c""".stripMargin,
+    // quantized-domain ANN: ordering key = dot/sqrt(norm_a·norm_b) computed
+    // from EXACT integer dots (codes are small ints, inner products ≤ 64·127²
+    // — exact in double), so the ranking is engine-independent; the emitted
+    // columns are the integer triple itself.
+    "q_ann_quantized" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS sc
+        |  FROM embeddings
+        |), qt AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CASE WHEN sc = 0 THEN CAST(0 AS DOUBLE)
+        |           WHEN CAST(x AS DOUBLE) >= 0 THEN floor(CAST(x AS DOUBLE)/sc + 0.5)
+        |           ELSE -floor(-CAST(x AS DOUBLE)/sc + 0.5) END) AS q
+        |  FROM s
+        |), a AS (SELECT q AS qa FROM qt WHERE vec_id = 0)
+        |SELECT b.vec_id,
+        |  CAST(list_inner_product(qa, b.q) AS BIGINT) AS dot_qq,
+        |  CAST(list_inner_product(qa, qa) AS BIGINT) AS norm_a,
+        |  CAST(list_inner_product(b.q, b.q) AS BIGINT) AS norm_b
+        |FROM qt b, a
+        |WHERE b.vec_id <> 0
+        |ORDER BY list_inner_product(qa, b.q)
+        |           / sqrt(list_inner_product(qa, qa) * list_inner_product(b.q, b.q)) DESC,
+        |         b.vec_id
+        |LIMIT 10""".stripMargin,
     "q_quality_scores" ->
       s"""SELECT doc_id,
          |  len($wordsSql) AS n_words,

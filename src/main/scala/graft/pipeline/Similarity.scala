@@ -140,12 +140,13 @@ object Similarity {
     * nlist-bounded dot products), so the scan filter is a literal IN over
     * the partition column and prunes at file-listing time.
     */
-  def ivfSignIndexQuery(spark: org.apache.spark.sql.SparkSession, path: String,
-                        queryEmb: Array[Float], k: Int, nlist: Int = 16,
-                        nprobe: Int = 4, seed: Long = 13L,
-                        excludeVecId: Long = -1L): DataFrame = {
-    // driver-side replica of SignDots' per-centroid accumulation (ascending
-    // d in double — same order, same result)
+  /** Driver-side replica of SignDots' per-centroid accumulation (ascending
+    * d in double — same order, same result): the nprobe nearest sign-vector
+    * cells for a query embedding. A few nlist-bounded dot products on the
+    * driver, so probe cells become literal partition filters.
+    */
+  private[pipeline] def signProbeCells(queryEmb: Array[Float], nlist: Int,
+                                       nprobe: Int, seed: Long): Seq[Int] = {
     val dots = (0 until nlist).map { t =>
       var dot = 0.0
       var d = 0
@@ -156,7 +157,14 @@ object Similarity {
       }
       (dot, t)
     }
-    val probe = dots.sortBy { case (dot, t) => (-dot, t) }.take(nprobe).map(_._2)
+    dots.sortBy { case (dot, t) => (-dot, t) }.take(nprobe).map(_._2)
+  }
+
+  def ivfSignIndexQuery(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queryEmb: Array[Float], k: Int, nlist: Int = 16,
+                        nprobe: Int = 4, seed: Long = 13L,
+                        excludeVecId: Long = -1L): DataFrame = {
+    val probe = signProbeCells(queryEmb, nlist, nprobe, seed)
     val qDf = broadcast(spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(queryEmb.toSeq)),
       org.apache.spark.sql.types.StructType(Seq(

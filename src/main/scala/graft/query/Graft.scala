@@ -115,6 +115,21 @@ object Graft {
       es => graft.pipeline.LshBuckets(es(0), litInt(es(1)), litInt(es(2)), litLong(es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("sample_bucket",
       es => graft.pipeline.SampleBucket(es(0), litInt(es(1))), "scala_udf")
+    // embedding-column quantization kernels (pipeline.Quantize)
+    reg.createOrReplaceTempFunction("i8_scale",
+      es => graft.pipeline.I8Scale(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_i8",
+      es => graft.pipeline.QuantizeI8(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("i8_codes",
+      es => graft.pipeline.I8Codes(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dequantize_i8",
+      es => graft.pipeline.DequantizeI8(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_i8",
+      es => graft.pipeline.DotI8(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim_i8",
+      es => graft.pipeline.CosineSimI8(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("i8_recon_ok",
+      es => graft.pipeline.I8ReconOk(es.head), "scala_udf")
   }
 
   private def col2expr(c: Column): Expression = GraftBridge.expression(c)

@@ -96,4 +96,24 @@ object SyntheticData {
     import spark.implicits._
     spark.range(0L, rows, 1L, partitions).map((l: java.lang.Long) => row(l.longValue))
   }
+
+  /** Deterministic synthetic embedding table (vec_id, embedding:
+    * array<float>[dims]) — uniform [-1,1) components from
+    * splitmix64(vec_id·131071 + dim), same everywhere like tokenTable.
+    */
+  def embTable(spark: SparkSession, rows: Long, dims: Int,
+               partitions: Int = 64): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0L, rows, 1L, partitions).map { (l: java.lang.Long) =>
+      val id = l.longValue
+      val out = new Array[Float](dims)
+      var d = 0
+      while (d < dims) {
+        val u = (mix(id * 131071L + d) >>> 11).toDouble / (1L << 53).toDouble
+        out(d) = (u * 2.0 - 1.0).toFloat
+        d += 1
+      }
+      (id, out)
+    }.toDF("vec_id", "embedding")
+  }
 }

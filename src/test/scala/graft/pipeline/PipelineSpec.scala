@@ -169,6 +169,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b, s"index query differs from in-memory IVF: $a vs $b")
   }
 
+  test("IVF-SQ8 index: partition pruning + quantized ranking equals the in-memory quantized scan over probe cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_sq8").toString
+    Quantize.ivfSq8IndexWrite(emb, dir, nlist = 16, seed = 13L)
+    val qEmb = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val fromIndex = Quantize.ivfSq8Query(spark, dir, qEmb, k = 10,
+      nlist = 16, nprobe = 4, seed = 13L, excludeVecId = 0L)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("__cell"), s"expected __cell partition filters, plan:\n$plan")
+    // the payload schema is the quantized form, not floats
+    val idx = spark.read.parquet(dir)
+    assert(idx.schema("q").dataType.typeName == "binary" &&
+      !idx.columns.contains("embedding"))
+    // oracle: restrict the full quantized brute-force ranking to the probe
+    // cells' members (computed independently via signDots on the floats)
+    val probe = Similarity.signProbeCells(qEmb, nlist = 16, nprobe = 4, seed = 13L)
+    val assigned = emb.withColumn("__dots",
+        PipelineFunctions.signDots(col("embedding"), 16, 13L))
+      .withColumn("__cell",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
+      .filter(col("__cell").isin(probe.map(Integer.valueOf): _*))
+      .select("vec_id", "embedding")
+    val expect = Quantize.bruteForceTopKQuantized(assigned, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = fromIndex.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, s"SQ8 index ranking differs: $got vs $expect")
+  }
+
   test("embedding near-dups: LSH blocking has precision 1.0 vs exact all-pairs") {
     def vpairs(df: DataFrame): Set[(Long, Long)] =
       df.select(col("vec_a"), col("vec_b"))
@@ -328,5 +357,80 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("doc_id", "tokens", "n_tok", "source")
       .withColumn("doc_id", col("doc_id").cast("bigint"))
     assert(Dedup.spanDuplicates(shifted, k).count() == 0)
+  }
+
+  test("int8 quantization: codes bounded, reconstruction within scale/2, zero vector safe") {
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.fill(200)(Array.fill(64)((rnd.nextGaussian() * (rnd.nextInt(5) + 1)).toFloat)) :+
+      Array.fill(64)(0.0f) :+ Array.fill(7)(1e-30f) :+ Array(3.5f)
+    vecs.foreach { v =>
+      val s = QuantizeKernel.scaleOf(v)
+      val q = QuantizeKernel.quantize(v, s)
+      assert(q.length == v.length)
+      q.foreach(b => assert(b >= -127 && b <= 127, s"code $b out of range"))
+      v.indices.foreach { i =>
+        val err = math.abs(v(i).toDouble - q(i) * s)
+        assert(err <= s * 0.5 + 1e-12, s"recon err $err > ${s * 0.5} at $i")
+      }
+      // a vector's own max hits ±127 exactly (full use of the code range)
+      if (s > 0) assert(q.map(b => math.abs(b.toInt)).max == 127)
+    }
+  }
+
+  test("quantized cosine tracks float cosine; quantized ANN top-10 matches float top-10 here") {
+    val stats = Quantize.quantizeStats(emb)
+    assert(stats.count() == 500)
+    assert(stats.filter(!col("recon_ok")).count() == 0)
+    // cosine in the code domain vs the float domain, across 500 query-0 pairs
+    val both = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe")).crossJoin(emb.filter(col("vec_id") =!= 0L))
+      .select(
+        PipelineFunctions.cosineSim(col("embedding"), col("qe")).as("cf"),
+        Quantize.cosineSimI8(Quantize.quantizeI8(col("embedding")),
+          Quantize.quantizeI8(col("qe"))).as("cq"))
+      .select(max(abs(col("cf") - col("cq"))).as("md")).head().getDouble(0)
+    assert(both < 0.02, s"quantized cosine drifted: max |Δ| = $both")
+    val qTop = Quantize.bruteForceTopKQuantized(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val fTop = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(qTop == fTop, s"quantized top-10 $qTop != float top-10 $fTop")
+  }
+
+  test("asymmetric (ADC) scoring: float query against dequantized codes equals symmetric ranking") {
+    val qt = Quantize.quantizeTable(emb)
+    assert(qt.columns.toSeq == Seq("vec_id", "q", "scale"))
+    // storage accounting: 64 code bytes vs 256 float bytes per vector
+    val row = qt.select(length(col("q")).as("nb")).agg(max("nb"), min("nb")).head()
+    assert(row.getInt(0) == 64 && row.getInt(1) == 64)
+    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val adc = qt.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        PipelineFunctions.cosineSim(
+          Quantize.dequantizeI8(col("q"), col("scale")), col("qe")).as("cos"))
+      .orderBy(desc("cos"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val sym = Quantize.bruteForceTopKQuantized(emb, 0L, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(adc == sym, s"ADC top-10 $adc != symmetric top-10 $sym")
+  }
+
+  test("quantization SQL functions equal the column API") {
+    graft.query.Graft.install(spark)
+    emb.createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      """SELECT vec_id, dot_i8(quantize_i8(embedding), quantize_i8(embedding)) AS n,
+        |       i8_recon_ok(embedding) AS ok,
+        |       i8_codes(quantize_i8(embedding)) AS q,
+        |       dequantize_i8(quantize_i8(embedding), i8_scale(embedding)) AS d
+        |FROM emb_sql""".stripMargin)
+    val viaCol = emb.select(col("vec_id"),
+      Quantize.dotI8(Quantize.quantizeI8(col("embedding")),
+        Quantize.quantizeI8(col("embedding"))).as("n"),
+      Quantize.i8ReconOk(col("embedding")).as("ok"),
+      Quantize.i8Codes(Quantize.quantizeI8(col("embedding"))).as("q"),
+      Quantize.dequantizeI8(Quantize.quantizeI8(col("embedding")),
+        Quantize.i8Scale(col("embedding"))).as("d"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 }

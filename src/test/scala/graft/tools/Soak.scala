@@ -640,6 +640,26 @@ object Soak {
         }, 2000)
     }
 
+    // --- round-5 embedding quantizer: code bounds + reconstruction bound ---
+    val genEmb: Gen[Array[Float]] = Gen.oneOf(
+      Gen.const(Array.emptyFloatArray),
+      Gen.choose(1, 256).flatMap(n => Gen.containerOfN[Array, Float](n,
+        Gen.chooseNum(-1e6f, 1e6f))),
+      Gen.choose(1, 64).flatMap(n => Gen.containerOfN[Array, Float](n,
+        Gen.oneOf(Gen.const(0.0f), Gen.const(-0.0f), Gen.chooseNum(-1e-30f, 1e-30f),
+          Gen.chooseNum(-2.0f, 2.0f)))))
+    check("i8-quantize-recon-bound", Prop.forAll(genEmb) { emb =>
+      val s = graft.pipeline.QuantizeKernel.scaleOf(emb)
+      val q = graft.pipeline.QuantizeKernel.quantize(emb, s)
+      q.length == emb.length &&
+        q.forall(b => b >= -127 && b <= 127) &&
+        emb.indices.forall { i =>
+          math.abs(emb(i).toDouble - q(i) * s) <= s * 0.5 + 1e-12
+        } &&
+        // codes are sign-faithful: x>0 never quantizes negative and vice versa
+        emb.indices.forall(i => emb(i) * q(i) >= 0 || q(i) == 0)
+    }, 2000)
+
     println("SOAK OK")
   }
 }
