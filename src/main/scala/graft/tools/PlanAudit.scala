@@ -302,6 +302,30 @@ object PlanAudit {
         s"compact must shuffle exactly once (sibling co-location):\n$cp")
       println("compact: one exchange (sibling co-location), local splice/merge")
     }
+
+    println("=== [14] round-5 embedding quantization: pruned SQ8 index scan, code-only payload ===")
+    locally {
+      val emb = graft.spark.SyntheticData.embTable(spark, 512, 64, partitions = 4)
+      val idx = s"$tmp/sq8_idx"
+      graft.pipeline.Quantize.ivfSq8IndexWrite(emb, idx, nlist = 16, seed = 13L)
+      val qEmb = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val q = graft.pipeline.Quantize.ivfSq8Query(spark, idx, qEmb, k = 10,
+        nlist = 16, nprobe = 4, seed = 13L, excludeVecId = 0L)
+      val qp = q.queryExecution.executedPlan.toString
+      // the probe must prune at file-listing time, not post-scan
+      require(qp.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("__cell")),
+        s"SQ8 probe must carry __cell partition filters:\n$qp")
+      // the index never stores (or reads) the float embedding column
+      require(!qp.contains("embedding"),
+        s"SQ8 scan must read codes only, never floats:\n$qp")
+      // scoring is a scan + local top-k: no join-shaped exchange beyond the
+      // single-partition ordering collect
+      require(!qp.contains("SortMergeJoin") && !qp.contains("ShuffledHashJoin"),
+        s"SQ8 query must not shuffle-join:\n$qp")
+      println("ivf-sq8: __cell PartitionFilters, code-only ReadSchema, scan + TakeOrdered")
+    }
     spark.stop()
   }
 
