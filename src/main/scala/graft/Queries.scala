@@ -138,6 +138,24 @@ object Queries {
       .select(col("doc_id").cast("bigint").as("doc_id"))
   }
 
+  /** Blocklist DENSITY over the encoded table: per-document counts of
+    * tokens in {"dup","spark","vector"} (the quantitative dual of the
+    * q_blocklist_tokens predicate — how many replacements a Scrub pass
+    * would make, or the rare-token/profanity score of a quality filter),
+    * streamed off each codec's wire format with zone-map + bloom chunk
+    * gating; gated chunks emit at metadata cost. Docs with zero hits are
+    * filtered here (the density consumer's shape); the oracle counts
+    * occurrences in the word domain.
+    */
+  def blocklistCounts(spark: SparkSession, dir: String): DataFrame = {
+    val v = vocab(spark, dir)
+    Graft.setCountsEncoded(autoChunks(spark, dir),
+        Seq(v("dup"), v("spark"), v("vector")))
+      .filter(col("n_in_set") > 0)
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_tok").cast("long").as("n_tok"), col("n_in_set"))
+  }
+
   /** Document-length filter on the ENCODED view: size(tokens) rewrites to
     * the varUInt row-prefix read (row_token_count) — the standard length
     * gate of a training pipeline, decode-free on compressed data.
@@ -484,6 +502,13 @@ object Queries {
       s"""SELECT doc_id FROM documents
          | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |           x -> x <> '')) BETWEEN 60 AND 80""".stripMargin,
+    "q_blocklist_counts" ->
+      s"""SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tok,
+         |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |           w -> w IN ('dup', 'spark', 'vector'))) AS BIGINT) AS n_in_set
+         | FROM documents
+         | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |           w -> w IN ('dup', 'spark', 'vector'))) > 0""".stripMargin,
     "q_dedup_exact_encoded" ->
       "SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups FROM documents GROUP BY text",
     "q_dedup_minhash_encoded" -> PipelineQueries.oracles("q_dedup_minhash"),
@@ -530,6 +555,7 @@ object Queries {
     "q_not_contains_tokens" -> (notContainsTokens _),
     "q_range_tokens" -> (rangeTokens _),
     "q_blocklist_tokens" -> (blocklistTokens _),
+    "q_blocklist_counts" -> (blocklistCounts _),
     "q_length_filter" -> (lengthFilter _),
     "q_length_pct_encoded" -> (lengthPercentilesEncoded _),
     "q_pack_sequences_encoded" -> (packSequencesEncoded _),

@@ -1251,3 +1251,65 @@ case class SpanBlocksGenerator(docIds: Expression, data: Expression,
     copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
       symtab = cs(4), codec = cs(5))
 }
+
+/** set_counts(doc_ids, data, offsets, row_count, symtab, codec, min_tok,
+  * max_tok, bloom) — lazy generator emitting one (doc_id, n_tok, n_in_set)
+  * row per encoded document, where n_in_set counts the document's tokens
+  * that belong to the (sorted) literal set — blocklist density / rare-token
+  * scoring off compressed storage (core/SetCountMatch). The zone-map +
+  * bloom gate mirrors ChunkSetDocIds: a chunk that cannot contain any set
+  * member emits its rows at METADATA cost (id slab + each row's leading
+  * varint) with n_in_set = 0, never touching the data plane — at 100 TB a
+  * rare set prices the whole pass near the id-slab scan.
+  */
+case class SetCountsGenerator(docIds: Expression, data: Expression,
+    offsets: Expression, rowCount: Expression, symtab: Expression, codec: Expression,
+    minTok: Expression, maxTok: Expression, bloom: Expression, tokens: Seq[Int])
+    extends Expression with Generator with CodegenFallback {
+  private val sorted: Array[Int] = SetMatch.sortedSet(tokens.toArray)
+  override def children: Seq[Expression] =
+    Seq(docIds, data, offsets, rowCount, symtab, codec, minTok, maxTok, bloom)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("n_in_set", LongType, nullable = false)))
+  override def prettyName: String = "set_counts"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ids = docIds.eval(input).asInstanceOf[Array[Byte]]
+    val bytes = data.eval(input).asInstanceOf[Array[Byte]]
+    val rows = rowCount.eval(input).asInstanceOf[Int]
+    if (rows == 0) return Iterator.empty
+    val offs = Offsets.unpack(offsets.eval(input).asInstanceOf[Array[Byte]], rows)
+    val gated = !SetMatch.chunkOverlaps(sorted,
+        minTok.eval(input).asInstanceOf[Int], maxTok.eval(input).asInstanceOf[Int]) ||
+      !SetMatch.chunkMayContainAny(bloom.eval(input).asInstanceOf[Array[Byte]], sorted)
+    val (counts, nToks) =
+      if (gated) (null: Array[Long], SetCountMatch.rowTokenCounts(bytes, offs, rows))
+      else {
+        val header = symtab.eval(input).asInstanceOf[Array[Byte]]
+        val codecName = codec.eval(input).asInstanceOf[UTF8String].toString
+        SetCountMatch.chunkRowSetCounts(codecName, header, bytes, offs, rows, sorted)
+      }
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var p = 0 // cursor into the packed id slab (varint len + bytes)
+      def hasNext: Boolean = i < rows
+      def next(): InternalRow = {
+        var len = 0; var shift = 0; var b = 0
+        do {
+          b = ids(p) & 0xff; p += 1
+          len |= (b & 0x7f) << shift; shift += 7
+        } while ((b & 0x80) != 0)
+        val id = UTF8String.fromBytes(ids, p, len)
+        p += len
+        val out = new GenericInternalRow(Array[Any](id, nToks(i),
+          if (counts == null) 0L else counts(i)))
+        i += 1
+        out
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
+      symtab = cs(4), codec = cs(5), minTok = cs(6), maxTok = cs(7), bloom = cs(8))
+}

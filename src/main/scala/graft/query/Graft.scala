@@ -408,6 +408,23 @@ object Graft {
       .select(explode(mkCol(setExpr)).as("doc_id"))
   }
 
+  /** Per-document token-SET COUNTS over the encoded table: (doc_id, n_tok,
+    * n_in_set) with n_in_set the number of the document's tokens in `set` —
+    * the quantitative dual of scanSet (blocklist density, rare-token
+    * scoring, pre-Scrub severity accounting). Each codec streams its own
+    * wire format (run-aware for RLE/constant rows); chunks whose zone map +
+    * bloom exclude every set member emit their rows at metadata cost with
+    * n_in_set = 0 and never touch the data plane — a rare set prices the
+    * 100-TB pass near the id-slab scan.
+    */
+  def setCountsEncoded(chunks: DataFrame, set: Seq[Int]): DataFrame =
+    chunks.select(
+      mkCol(SetCountsGenerator(col2expr(col("doc_ids")), col2expr(col("data")),
+        col2expr(col("offsets")), col2expr(col("row_count")),
+        col2expr(col("symtab")), col2expr(col("codec")),
+        col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok")),
+        col2expr(col("stats.symbol_bitmap")), set)))
+
   /** Compressed-domain token histogram: per-chunk (token, count) pairs from
     * the CountMatch kernels (no row decode), merged by a standard
     * groupBy(token) whose partial aggregation bounds the shuffle at

@@ -265,6 +265,29 @@ class QuerySpec extends AnyFunSuite {
     assert(want.except(sqlGot).isEmpty && sqlGot.except(want).isEmpty)
   }
 
+  test("set counts: per-codec compressed-domain density equals the decoded occurrence count") {
+    import org.apache.spark.sql.functions.expr
+    val ids = vocab.values.toSeq.sorted
+    // scattered mid-vocab set, singleton, fully out-of-vocab (gate-skip
+    // path: every row must still surface with n_in_set = 0 and a correct
+    // n_tok), and a mixed in/out set
+    val sets = Seq(Seq(ids(1), ids(6), ids(11)), Seq(ids(4)),
+      Seq(ids.last + 5, ids.last + 9), Seq(ids(0), ids.last + 7))
+    for (codec <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val ch = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 4, maxRowsPerChunk = 64, forceCodec = Some(codec))).toDF()
+      for (set <- sets) {
+        val want = input.toDF().select(col("doc_id"),
+          org.apache.spark.sql.functions.size(col("tokens")).cast("int").as("n_tok"),
+          expr(s"aggregate(tokens, 0L, (a, t) -> a + IF(array_contains(" +
+            s"array(${set.mkString(",")}), t), 1L, 0L))").as("n_in_set"))
+        val got = Graft.setCountsEncoded(ch, set)
+        assert(want.except(got).isEmpty && got.except(want).isEmpty,
+          s"$codec $set: compressed set counts differ from decoded occurrence counts")
+      }
+    }
+  }
+
   test("length pushdown: size(tokens) on the encoded view reads the row prefix, no decode") {
     // correctness vs the raw table, across codecs (the prefix is uniform)
     for (codec <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {

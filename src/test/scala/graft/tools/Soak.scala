@@ -270,6 +270,36 @@ object Soak {
         }, 2000)
     }
 
+    // set-membership COUNTS: the run-aware ChunkWalker sink vs a decoded
+    // per-row occurrence count (same adversarial set shapes as above), plus
+    // the gate-skip metadata path's n_tok agreeing with the decoded lengths
+    for (codec <- Codecs.all) {
+      check(s"setcount-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks), genSet) { (rowsL, setRaw) =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val sorted = SetMatch.sortedSet(setRaw)
+            val header = codec.buildHeader(rows, stats)
+            val enc = codec.encoder(header)
+            val out = new ByteWriter()
+            val offs = new Array[Int](rows.length + 1)
+            rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+            val data = out.toBytes
+            val (counts, nToks) = SetCountMatch.chunkRowSetCounts(
+              codec.name, header, data, offs, rows.length, sorted)
+            val metaToks = SetCountMatch.rowTokenCounts(data, offs, rows.length)
+            rows.indices.forall { i =>
+              counts(i) == rows(i).count(t => SetMatch.contains(sorted, t)).toLong &&
+                nToks(i) == rows(i).length && metaToks(i) == rows(i).length
+            }
+          }
+        }, 2000)
+    }
+
     // compressed-domain scrub: per-codec chunk rewrite vs the decoded remap
     // oracle — decode(scrub(chunk)) must be the element-wise banned→unk map,
     // the rewritten chunk must pass its own crc + decode, and the read-side
