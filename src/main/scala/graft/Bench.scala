@@ -424,6 +424,36 @@ object Bench {
       val (nSmC, tSmC) = best(sampleSum(Graft.encodedRows(autoChunks)))
       val (nSmD, tSmD) = best(sampleSum(EncodeJob.decodeDf(autoChunks)))
       require(nSmC == nSmD, s"late-materialized sample disagrees with decode-all: $nSmC/$nSmD")
+      // TOKEN-QUALITY PROFILE pair (round 5): per-doc exact (n_tok,
+      // n_distinct, max_run, top_cnt) streamed off the encoded chunks
+      // (QualityMatch — one pass, no decode) vs decode + higher-order
+      // functions (array_distinct + an aggregate() run-carrying fold; the
+      // decoded side skips top_cnt — no O(n) HOF computes a mode — so the
+      // encoded kernel does strictly MORE work here). Cross-asserts:
+      // sum(n_distinct) and global max(max_run).
+      def qualityChecksum(df: org.apache.spark.sql.DataFrame): Long = {
+        val r = df.agg(
+          org.apache.spark.sql.functions.sum(col("n_distinct")),
+          org.apache.spark.sql.functions.max(col("max_run"))).collect()(0)
+        r.getLong(0) * 1000L + r.getLong(1)
+      }
+      val decMaxRun = org.apache.spark.sql.functions.expr(
+        "aggregate(tokens, named_struct('prev', CAST(NULL AS INT), 'run', 0, 'best', 0), " +
+          "(s, t) -> named_struct('prev', t, " +
+          "'run', IF(s.prev IS NOT NULL AND s.prev = t, s.run + 1, 1), " +
+          "'best', GREATEST(s.best, IF(s.prev IS NOT NULL AND s.prev = t, s.run + 1, 1))), " +
+          "s -> s.best)")
+      val (nQlC, tQlC) = best(qualityChecksum(
+        Graft.qualityEncoded(autoChunks)
+          .select(col("n_distinct").cast("long").as("n_distinct"),
+            col("max_run").cast("long").as("max_run"))))
+      val (nQlD, tQlD) = best(qualityChecksum(
+        EncodeJob.decodeDf(autoChunks).select(
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.array_distinct(col("tokens")))
+            .cast("long").as("n_distinct"),
+          decMaxRun.cast("long").as("max_run"))))
+      require(nQlC == nQlD, s"encoded quality profile disagrees with decode: $nQlC/$nQlD")
       // EMBEDDING QUANTIZATION scan pair (round 5): brute-force ANN over the
       // stored float32 table vs the int8-quantized form (1 B/dim codes +
       // 8 B scale — pipeline.Quantize), each side reading its own parquet
@@ -476,7 +506,7 @@ object Bench {
           .agg(org.apache.spark.sql.functions.sum(col("n_tok"))).collect()(0).getLong(0)
       }
 
-      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"bigram_pairs":$nBgC,"sec_bigram_compressed":$tBgC%.3f,"sec_bigram_decode_group":$tBgD%.3f,"dedup_groups":$nDdC,"sec_dedup_hash_compressed":$tDdC%.3f,"sec_dedup_decode_group":$tDdD%.3f,"minhash_sig_xor":$nMhC,"sec_minhash_sig_compressed":$tMhC%.3f,"sec_minhash_sig_decoded":$tMhD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"pack_manifest_rows":$nPkC,"sec_pack_encoded":$tPkC%.3f,"sec_pack_decoded":$tPkD%.3f,"sample_tok_sum":$nSmC,"sec_sample_encoded":$tSmC%.3f,"sec_sample_decode_all":$tSmD%.3f,"ann_vecs":$benchVecs,"ann_top10_overlap":$annOverlap,"sec_ann_float_scan":$tAnnF%.3f,"sec_ann_quantized_scan":$tAnnQ%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
+      f""""pattern_bench":{"hist_tokens":$nHistC,"sec_hist_compressed":$tHistC%.3f,"sec_hist_decode_group":$tHistD%.3f,"bigram_pairs":$nBgC,"sec_bigram_compressed":$tBgC%.3f,"sec_bigram_decode_group":$tBgD%.3f,"dedup_groups":$nDdC,"sec_dedup_hash_compressed":$tDdC%.3f,"sec_dedup_decode_group":$tDdD%.3f,"minhash_sig_xor":$nMhC,"sec_minhash_sig_compressed":$tMhC%.3f,"sec_minhash_sig_decoded":$tMhD%.3f,"matches":$nRaw,"sec_raw_scan":$tRaw%.3f,"sec_decode_then_match":$tDec%.3f,"sec_compressed_scan":$tCmp%.3f,"sec_fsst_forced_scan":$tFsst%.3f,"sec_compressed_late_decode":$tLate%.3f,"dict_matches":$nDictS,"sec_dict_domain_scan":$tDictS%.3f,"sec_dict_decode_match":$tDictD%.3f,"rle_matches":$nRleS,"sec_rle_domain_scan":$tRleS%.3f,"sec_rle_decode_match":$tRleD%.3f,"bitpack_prefix_matches":$nBpS,"sec_bitpack_prefix_scan":$tBpS%.3f,"sec_bitpack_decode_match":$tBpD%.3f,"bitpack_contains_matches":$nBpCS,"sec_bitpack_contains_scan":$tBpCS%.3f,"sec_bitpack_contains_decode_match":$tBpCD%.3f,"suffix_matches":$nSfxS,"sec_fsst_suffix_scan":$tSfxS%.3f,"sec_fsst_suffix_decode_match":$tSfxD%.3f,"range_matches":$nRngS,"sec_range_scan":$tRngS%.3f,"sec_range_decode_match":$tRngD%.3f,"pack_manifest_rows":$nPkC,"sec_pack_encoded":$tPkC%.3f,"sec_pack_decoded":$tPkD%.3f,"sample_tok_sum":$nSmC,"sec_sample_encoded":$tSmC%.3f,"sec_sample_decode_all":$tSmD%.3f,"quality_checksum":$nQlC,"sec_quality_encoded":$tQlC%.3f,"sec_quality_decode_hof":$tQlD%.3f,"ann_vecs":$benchVecs,"ann_top10_overlap":$annOverlap,"sec_ann_float_scan":$tAnnF%.3f,"sec_ann_quantized_scan":$tAnnQ%.3f,"decode_all_tokens":$decToks,"sec_decode_all":$tDecAll%.3f,"decode_tokens_per_sec":${(decToks / tDecAll).toLong}}"""
     }
 
     spark.stop()

@@ -156,6 +156,21 @@ object Queries {
         col("n_tok").cast("long").as("n_tok"), col("n_in_set"))
   }
 
+  /** Token-domain quality profile over the ENCODED table: per-document
+    * exact (n_tok, n_distinct, max_run, top_cnt) — the distinct ratio,
+    * degenerate-repeat, and one-token-dominates signals of a C4/Gopher-style
+    * quality gate, streamed off each codec's wire format with no row decode
+    * anywhere in the plan. Vocabulary ids are word ranks, so the word-domain
+    * oracle computes the identical integers.
+    */
+  def qualityEncodedProfile(spark: SparkSession, dir: String): DataFrame =
+    Graft.qualityEncoded(autoChunks(spark, dir))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_tok").cast("long").as("n_tok"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("max_run").cast("long").as("max_run"),
+        col("top_cnt").cast("long").as("top_cnt"))
+
   /** Document-length filter on the ENCODED view: size(tokens) rewrites to
     * the varUInt row-prefix read (row_token_count) — the standard length
     * gate of a training pipeline, decode-free on compressed data.
@@ -509,6 +524,38 @@ object Queries {
          | FROM documents
          | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |           w -> w IN ('dup', 'spark', 'vector'))) > 0""".stripMargin,
+    "q_quality_encoded" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                             x -> x <> '') AS w
+         |  FROM documents
+         |), e AS (
+         |  SELECT doc_id, unnest(w) AS tok, unnest(range(1, len(w)+1)) AS i FROM t
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct
+         |  FROM e GROUP BY doc_id
+         |), runs AS (
+         |  SELECT doc_id, max(run_len) AS max_run FROM (
+         |    SELECT doc_id, count(*) AS run_len FROM (
+         |      SELECT doc_id, tok, i,
+         |             i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+         |      FROM e)
+         |    GROUP BY doc_id, tok, grp)
+         |  GROUP BY doc_id
+         |), modes AS (
+         |  SELECT doc_id, max(c) AS top_cnt FROM (
+         |    SELECT doc_id, tok, count(*) AS c FROM e GROUP BY doc_id, tok)
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_tok, 0) AS BIGINT) AS n_tok,
+         |  CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+         |  CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_run,
+         |  CAST(coalesce(m.top_cnt, 0) AS BIGINT) AS top_cnt
+         |FROM documents d
+         |LEFT JOIN agg a USING (doc_id)
+         |LEFT JOIN runs r USING (doc_id)
+         |LEFT JOIN modes m USING (doc_id)""".stripMargin,
     "q_dedup_exact_encoded" ->
       "SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups FROM documents GROUP BY text",
     "q_dedup_minhash_encoded" -> PipelineQueries.oracles("q_dedup_minhash"),
@@ -556,6 +603,7 @@ object Queries {
     "q_range_tokens" -> (rangeTokens _),
     "q_blocklist_tokens" -> (blocklistTokens _),
     "q_blocklist_counts" -> (blocklistCounts _),
+    "q_quality_encoded" -> (qualityEncodedProfile _),
     "q_length_filter" -> (lengthFilter _),
     "q_length_pct_encoded" -> (lengthPercentilesEncoded _),
     "q_pack_sequences_encoded" -> (packSequencesEncoded _),

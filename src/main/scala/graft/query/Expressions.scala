@@ -1313,3 +1313,55 @@ case class SetCountsGenerator(docIds: Expression, data: Expression,
     copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
       symtab = cs(4), codec = cs(5), minTok = cs(6), maxTok = cs(7), bloom = cs(8))
 }
+
+/** quality_profiles(doc_ids, data, offsets, row_count, symtab, codec) —
+  * lazy generator emitting one (doc_id, n_tok, n_distinct, max_run, top_cnt)
+  * row per encoded document: the token-domain quality profile (exact
+  * distinct count, longest equal-token run, mode weight) computed in each
+  * codec's wire format (core/QualityMatch) — a C4/Gopher-style quality gate
+  * over a compressed corpus without decoding a single token array.
+  */
+case class QualityGenerator(docIds: Expression, data: Expression,
+    offsets: Expression, rowCount: Expression, symtab: Expression, codec: Expression)
+    extends Expression with Generator with CodegenFallback {
+  override def children: Seq[Expression] =
+    Seq(docIds, data, offsets, rowCount, symtab, codec)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("max_run", IntegerType, nullable = false),
+    StructField("top_cnt", IntegerType, nullable = false)))
+  override def prettyName: String = "quality_profiles"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ids = docIds.eval(input).asInstanceOf[Array[Byte]]
+    val bytes = data.eval(input).asInstanceOf[Array[Byte]]
+    val rows = rowCount.eval(input).asInstanceOf[Int]
+    if (rows == 0) return Iterator.empty
+    val offs = Offsets.unpack(offsets.eval(input).asInstanceOf[Array[Byte]], rows)
+    val header = symtab.eval(input).asInstanceOf[Array[Byte]]
+    val codecName = codec.eval(input).asInstanceOf[UTF8String].toString
+    val p = QualityMatch.chunkRowProfiles(codecName, header, bytes, offs, rows)
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var pos = 0 // cursor into the packed id slab (varint len + bytes)
+      def hasNext: Boolean = i < rows
+      def next(): InternalRow = {
+        var len = 0; var shift = 0; var b = 0
+        do {
+          b = ids(pos) & 0xff; pos += 1
+          len |= (b & 0x7f) << shift; shift += 7
+        } while ((b & 0x80) != 0)
+        val id = UTF8String.fromBytes(ids, pos, len)
+        pos += len
+        val out = new GenericInternalRow(Array[Any](id, p.nTok(i),
+          p.nDistinct(i), p.maxRun(i), p.topCnt(i)))
+        i += 1
+        out
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
+      symtab = cs(4), codec = cs(5))
+}

@@ -425,6 +425,24 @@ object Graft {
         col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok")),
         col2expr(col("stats.symbol_bitmap")), set)))
 
+  /** Per-document token-quality profile over the encoded table: (doc_id,
+    * source, n_tok, n_distinct, max_run, top_cnt) — exact distinct-token
+    * count, longest equal-token run, and mode weight, streamed off each
+    * codec's wire format (core/QualityMatch; RLE folds whole runs in O(1)).
+    * The compressed-domain form of TextAnalysis-style quality gating: a
+    * 100-TB corpus is quality-scored (degenerate-repeat and
+    * one-token-dominates signals) without decoding a single token array,
+    * and the output is a slim 5-column frame a filter or stratifier
+    * consumes directly.
+    */
+  def qualityEncoded(chunks: DataFrame): DataFrame =
+    chunks.select(col("source"),
+      mkCol(QualityGenerator(col2expr(col("doc_ids")), col2expr(col("data")),
+        col2expr(col("offsets")), col2expr(col("row_count")),
+        col2expr(col("symtab")), col2expr(col("codec")))))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("n_distinct"), col("max_run"), col("top_cnt"))
+
   /** Compressed-domain token histogram: per-chunk (token, count) pairs from
     * the CountMatch kernels (no row decode), merged by a standard
     * groupBy(token) whose partial aggregation bounds the shuffle at

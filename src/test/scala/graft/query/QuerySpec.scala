@@ -288,6 +288,35 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("quality profile: per-codec compressed-domain stats equal the decoded oracle") {
+    import org.apache.spark.sql.functions.expr
+    // decoded-domain oracle built from higher-order functions on the raw
+    // token arrays: exact distinct count, longest equal-adjacent run
+    // (aggregate carrying (prev, run, best)), and mode weight
+    val maxRunExpr = expr(
+      "aggregate(tokens, named_struct('prev', CAST(NULL AS INT), 'run', 0, 'best', 0), " +
+        "(s, t) -> named_struct('prev', t, " +
+        "'run', IF(s.prev IS NOT NULL AND s.prev = t, s.run + 1, 1), " +
+        "'best', GREATEST(s.best, IF(s.prev IS NOT NULL AND s.prev = t, s.run + 1, 1))), " +
+        "s -> s.best)")
+    val topCntExpr = expr(
+      "coalesce(array_max(transform(array_distinct(tokens), " +
+        "d -> size(filter(tokens, t -> t = d)))), 0)")
+    val want = input.toDF().select(col("doc_id"),
+      size(col("tokens")).cast("int").as("n_tok"),
+      size(array_distinct(col("tokens"))).cast("int").as("n_distinct"),
+      maxRunExpr.cast("int").as("max_run"),
+      topCntExpr.cast("int").as("top_cnt"))
+    for (codec <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val ch = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 4, maxRowsPerChunk = 64, forceCodec = Some(codec))).toDF()
+      val got = Graft.qualityEncoded(ch)
+        .select("doc_id", "n_tok", "n_distinct", "max_run", "top_cnt")
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codec: compressed quality profile differs from decoded oracle")
+    }
+  }
+
   test("length pushdown: size(tokens) on the encoded view reads the row prefix, no decode") {
     // correctness vs the raw table, across codecs (the prefix is uniform)
     for (codec <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {

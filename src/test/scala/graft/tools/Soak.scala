@@ -401,6 +401,43 @@ object Soak {
         }, 2000)
     }
 
+    // compressed-domain quality profile: per-codec QualityMatch kernel vs a
+    // plain per-row Scala oracle — exact (n_tok, n_distinct, max_run,
+    // top_cnt) per row (exercises the RLE run fold and run merging across
+    // adjacent equal feeds)
+    for (codec <- Codecs.all) {
+      check(s"quality-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks)) { rowsL =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val header = codec.buildHeader(rows, stats)
+            val enc = codec.encoder(header)
+            val out = new ByteWriter()
+            val offs = new Array[Int](rows.length + 1)
+            rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+            val p = QualityMatch.chunkRowProfiles(codec.name, header, out.toBytes,
+              offs, rows.length)
+            rows.indices.forall { i =>
+              val r = rows(i)
+              val counts = scala.collection.mutable.LongMap.empty[Int]
+              r.foreach(t => counts.update(t.toLong, counts.getOrElse(t.toLong, 0) + 1))
+              var best = 0; var run = 0; var prev = 0; var has = false
+              r.foreach { t =>
+                if (has && t == prev) run += 1 else { run = 1; prev = t; has = true }
+                if (run > best) best = run
+              }
+              p.nTok(i) == r.length && p.nDistinct(i) == counts.size &&
+                p.maxRun(i) == best &&
+                p.topCnt(i) == (if (counts.isEmpty) 0 else counts.values.max)
+            }
+          }
+        }, 2000)
+    }
+
     // compressed-domain content hash: per-codec HashMatch kernels vs the
     // decoded-array reference hash — bit-identical 128-bit lanes per row
     // (exercises the FSST code-fragment precompute, the RLE closed-form
