@@ -366,6 +366,25 @@ object Graft {
       minShared)
   }
 
+  /** Zone-map gate as a PLAN-level conjunct, not just expression-internal
+    * logic: a chunk can contain a match only if every required token lies in
+    * its [min_tok, max_tok] interval, so the implied filter on the persisted
+    * per-chunk stats is added BEFORE the matcher expression. On a
+    * parquet-backed chunk table (TableIO.readChunks) Spark pushes the nested
+    * `stats.min_tok`/`stats.max_tok` comparisons into the scan
+    * (PushedFilters → row-group statistics + column-index page pruning), so
+    * chunks that cannot match are skipped WITHOUT reading their data blobs
+    * off storage — files whose every row group is excluded cost one footer
+    * read. That is the 100-TB form of chunk skipping: the in-expression
+    * gates (zone map, blooms, set cover) save CPU after the bytes arrive;
+    * this conjunct saves the I/O itself. Conservative and exact-safe: the
+    * matcher still evaluates the surviving chunks.
+    */
+  private def zoneGateAll(chunks: DataFrame, required: Seq[Int]): DataFrame =
+    if (required.isEmpty) chunks
+    else chunks.filter(col("stats.min_tok") <= lit(required.min) &&
+      col("stats.max_tok") >= lit(required.max))
+
   /** The fast scan path: chunk-granularity pattern match returning matching
     * doc_ids, with bloom-based whole-chunk skipping. One expression eval per
     * chunk ≈ one Engine::Scan per block in the reference.
@@ -376,7 +395,7 @@ object Graft {
         col2expr(col("row_count")), col2expr(col("symtab")), col2expr(col("codec")),
         col2expr(col("stats.symbol_bitmap")), col2expr(col("stats.escaped_bitmap"))),
       mode, parts)
-    chunks
+    zoneGateAll(chunks, parts.flatten)
       .select(explode(mkCol(matchExpr)).as("doc_id"))
   }
 
@@ -390,7 +409,8 @@ object Graft {
         col2expr(col("row_count")), col2expr(col("symtab")), col2expr(col("codec")),
         col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok"))),
       lo, hi)
-    chunks
+    // interval-overlap conjunct, pushed to the storage scan (see zoneGateAll)
+    chunks.filter(col("stats.max_tok") >= lit(lo) && col("stats.min_tok") <= lit(hi))
       .select(explode(mkCol(rangeExpr)).as("doc_id"))
   }
 
@@ -404,7 +424,13 @@ object Graft {
         col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok")),
         col2expr(col("stats.symbol_bitmap"))),
       set)
-    chunks
+    // ANY-semantics: a chunk can match only if its token interval overlaps
+    // the set's hull [set.min, set.max] — conservative, pushed to storage
+    val gated =
+      if (set.isEmpty) chunks
+      else chunks.filter(col("stats.max_tok") >= lit(set.min) &&
+        col("stats.min_tok") <= lit(set.max))
+    gated
       .select(explode(mkCol(setExpr)).as("doc_id"))
   }
 
@@ -504,8 +530,9 @@ object Graft {
     import org.apache.spark.unsafe.types.UTF8String
     val spark = chunkDf.sparkSession
     val partsArr = parts.map(_.toArray).toArray
-    val proj = chunkDf.select(col("codec"), col("symtab"), col("data"),
-      col("offsets"), col("row_count"), col("doc_ids"), col("source"))
+    val proj = zoneGateAll(chunkDf, parts.flatten)
+      .select(col("codec"), col("symtab"), col("data"),
+        col("offsets"), col("row_count"), col("doc_ids"), col("source"))
     val rdd = GraftBridge.toInternalRdd(proj).mapPartitions { it =>
       val normalized = graft.core.PatternMode.normalize(mode, partsArr)
       it.flatMap { r =>
