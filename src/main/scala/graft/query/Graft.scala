@@ -380,6 +380,16 @@ object Graft {
     * this conjunct saves the I/O itself. Conservative and exact-safe: the
     * matcher still evaluates the surviving chunks.
     */
+  /** The zone-gated column projection feeding the late-materialization RDD
+    * bridge — extracted so PlanAudit can pin its PushedFilters (the bridge
+    * hides this subplan behind a Scan ExistingRDD in the outer plan).
+    */
+  private[graft] def lateMatProjection(chunkDf: DataFrame,
+                                       parts: Seq[Seq[Int]]): DataFrame =
+    zoneGateAll(chunkDf, parts.flatten)
+      .select(col("codec"), col("symtab"), col("data"),
+        col("offsets"), col("row_count"), col("doc_ids"), col("source"))
+
   private def zoneGateAll(chunks: DataFrame, required: Seq[Int]): DataFrame =
     if (required.isEmpty) chunks
     else chunks.filter(col("stats.min_tok") <= lit(required.min) &&
@@ -530,9 +540,7 @@ object Graft {
     import org.apache.spark.unsafe.types.UTF8String
     val spark = chunkDf.sparkSession
     val partsArr = parts.map(_.toArray).toArray
-    val proj = zoneGateAll(chunkDf, parts.flatten)
-      .select(col("codec"), col("symtab"), col("data"),
-        col("offsets"), col("row_count"), col("doc_ids"), col("source"))
+    val proj = lateMatProjection(chunkDf, parts)
     val rdd = GraftBridge.toInternalRdd(proj).mapPartitions { it =>
       val normalized = graft.core.PatternMode.normalize(mode, partsArr)
       it.flatMap { r =>

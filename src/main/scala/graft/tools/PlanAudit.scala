@@ -326,6 +326,30 @@ object PlanAudit {
         s"SQ8 query must not shuffle-join:\n$qp")
       println("ivf-sq8: __cell PartitionFilters, code-only ReadSchema, scan + TakeOrdered")
     }
+
+    println("=== [15] zone-map gate reaches the parquet scan (PushedFilters on chunk stats) ===")
+    locally {
+      // The plan-level min_tok/max_tok conjunct must appear as PushedFilters
+      // on the chunk-table FileSourceScan so row groups whose statistics
+      // exclude the interval are skipped without reading the data blob.
+      def pinned(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+        val p = df.queryExecution.executedPlan.toString
+        require(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+          l.contains("stats.min_tok") && l.contains("stats.max_tok")),
+          s"$what must push the zone-map conjunct into the parquet scan:\n$p")
+      }
+      val tok = vocab("value")
+      pinned(Graft.scanPattern(chunks, graft.core.PatternMode.Contains,
+        Seq(Seq(tok))), "scanPattern")
+      pinned(Graft.scanRange(chunks, tok, tok + 3), "scanRange")
+      pinned(Graft.scanSet(chunks, Seq(tok, tok + 1)), "scanSet")
+      // scanAndDecodeDf's gated projection hides behind the InternalRow
+      // bridge (outer plan = Scan ExistingRDD), so pin the shared subplan
+      pinned(Graft.lateMatProjection(chunks, Seq(Seq(tok))),
+        "scanAndDecodeDf projection")
+      println("zone gate: stats.min_tok/max_tok in PushedFilters for " +
+        "pattern/range/set scans and late materialization")
+    }
     spark.stop()
   }
 
