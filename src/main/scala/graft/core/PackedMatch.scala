@@ -4,18 +4,22 @@ package graft.core
   * the engine's FSST-domain matching (FsstMatch) to dict and RLE chunks:
   *
   * - dict: pattern tokens map to dictionary INDICES once per (chunk,
-  *   pattern); rows then match on the bit-packed index stream — the token
-  *   values are never materialized. A pattern token absent from the
-  *   dictionary proves the whole chunk matchless (exact, not probabilistic).
+  *   pattern); rows then match IN PLACE on the bit-packed index stream via
+  *   [[PackedAnchor.prepareDict]] (dict = bitpack at width bitsFor(card−1),
+  *   base 0) — neither index arrays nor token values ever materialize. A
+  *   pattern token absent from the dictionary proves the whole chunk
+  *   matchless (exact, not probabilistic).
   * - rle: rows match at RUN granularity — a run of 10 000 equal tokens is
   *   one comparison, not 10 000. The pattern is itself run-compressed; run
   *   boundary discipline (maximal runs inside both row and pattern) gives
   *   exact alignment rules: interior pattern runs need exact counts, edge
   *   runs need ≥.
+  * - FoR/bitpack: [[PackedAnchor]] — anchored modes unpack-compare m values
+  *   against the row's own frame; sliding modes scan the packed stream with
+  *   bit-phase images.
   *
-  * Both are existence-exact against TokenMatch (property-fuzzed in
-  * MatcherSpec). FoR/bitpack rows stay decode-then-match: their per-row
-  * bases make a pattern's packed image row-dependent.
+  * All are existence-exact against TokenMatch (property-fuzzed in
+  * MatcherSpec and Soak).
   */
 object DictMatch {
 
@@ -197,12 +201,13 @@ object PackedAnchor {
   /** Per-(chunk, pattern) matcher: codec header parsed once, bitpack phase
     * images and range guards computed once, then [[evalRow]] per row slice.
     * The chunk matcher builds one per chunk; the per-row expression caches
-    * one per header (HeaderCache in query.Expressions).
+    * one per header (HeaderCache in query.Expressions). `isFor = false`
+    * covers both bitpack (parts = token values) and dict (parts = dictionary
+    * indices via [[prepareDict]]) — base-0 packed streams at a
+    * chunk-constant width.
     */
-  final class Prepared(codecName: String, header: Array[Byte], mode: String,
+  final class Prepared(width: Int, isFor: Boolean, mode: String,
                        parts: Array[Array[Int]]) {
-    private val width = header(0) & 0xff
-    private val isFor = codecName == ForCodec.name
     private val rangeMask = if (width >= 32) 0xffffffffL else (1L << width) - 1
     private val sliding = mode == PatternMode.Contains || mode == PatternMode.MultiInfix
     // bitpack deltas ARE the pattern tokens: images row-independent
@@ -299,7 +304,20 @@ object PackedAnchor {
 
   def prepare(codecName: String, header: Array[Byte], mode: String,
               parts: Array[Array[Int]]): Prepared =
-    new Prepared(codecName, header, mode, parts)
+    new Prepared(header(0) & 0xff, codecName == ForCodec.name, mode, parts)
+
+  /** Dict rows are bit-packed dictionary INDICES — base 0 at the
+    * chunk-constant width bitsFor(card−1), exactly the bitpack wire shape —
+    * so after [[DictMatch.translate]] the same phase-image matcher runs in
+    * the INDEX domain: sliding modes compare masked bytes of the packed
+    * stream, anchored modes unpack-compare m indices, and no row ever
+    * materializes an index array (let alone token values).
+    */
+  def prepareDict(header: Array[Byte], mode: String,
+                  idxParts: Array[Array[Int]]): Prepared = {
+    val card = new ByteReader(header, 0, header.length).readVarUInt()
+    new Prepared(BitPack.bitsFor(math.max(card - 1, 0)), isFor = false, mode, idxParts)
+  }
 
   /** Compare stored values [startIdx, startIdx+m) of an LSB-first packed
     * payload at `payloadStart` against part(i) − base.

@@ -39,15 +39,12 @@ private[query] final class HeaderCache[V](build: Array[Byte] => V, max: Int = 32
 private[query] object EvalCaches {
   private val symtabs = new HeaderCache[SymTab](SymTab.fromBytes)
   private val dicts = new HeaderCache[Array[Int]](DictCodec.readDict)
-  private val idxDecoders = new HeaderCache[RowDecoder](DictCodec.indexDecoder)
   private val decodersByCodec =
     scala.collection.concurrent.TrieMap.empty[String, HeaderCache[RowDecoder]]
 
   def symtab(header: Array[Byte]): SymTab = symtabs.get(header)
   /** Sorted dictionary values from a dict-codec header. */
   def dict(header: Array[Byte]): Array[Int] = dicts.get(header)
-  /** Dict-codec decoder to INDICES (dict-domain matching). */
-  def indexDecoder(header: Array[Byte]): RowDecoder = idxDecoders.get(header)
   def decoder(codec: String, header: Array[Byte]): RowDecoder =
     decodersByCodec.getOrElseUpdate(codec,
       new HeaderCache[RowDecoder](Codecs.byName(codec).decoder)).get(header)
@@ -135,10 +132,13 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
     val rs = partsArr.map(RleMatch.patternRuns)
     (rs.map(_._1), rs.map(_._2), partsArr.map(_.length))
   }
-  // token→index translation memoized per dict header (evaluated per row)
-  @transient private lazy val dictParts =
-    new HeaderCache[Option[Array[Array[Int]]]](
-      h => DictMatch.translate(EvalCaches.dict(h), partsArr))
+  // token→index translation + index-domain packed matcher memoized per dict
+  // header (evaluated per row); None = a pattern token is outside the
+  // dictionary, an exact whole-chunk gate
+  @transient private lazy val dictPrepared =
+    new HeaderCache[Option[PackedAnchor.Prepared]](h =>
+      DictMatch.translate(EvalCaches.dict(h), partsArr)
+        .map(idxParts => PackedAnchor.prepareDict(h, mode, idxParts)))
   // equals-mode pattern image per (codec, header) — canonical-encoding E5
   @transient private lazy val equalsImages =
     scala.collection.concurrent.TrieMap.empty[String, HeaderCache[Option[Array[Byte]]]]
@@ -168,11 +168,9 @@ case class CompressedPatternMatch(enc: Expression, header: Expression, codecName
         case Some(img) => PackedEquals.rowEquals(bytes, 0, bytes.length, img)
       }
     } else if (codec == DictCodec.name) {
-      dictParts.get(headerBytes) match {
+      dictPrepared.get(headerBytes) match {
         case None => false // a pattern token is outside this chunk's dictionary
-        case Some(idxParts) =>
-          val dec = EvalCaches.indexDecoder(headerBytes)
-          TokenMatch.eval(mode, idxParts, dec.decode(bytes, 0, bytes.length))
+        case Some(prep) => prep.evalRow(bytes, 0, bytes.length)
       }
     } else if (codec == RleCodec.name) {
       val (pvs, pcs, lens) = patRuns
@@ -702,15 +700,17 @@ case class ChunkMatchDocIds(children: Seq[Expression], mode: String, parts: Seq[
     } else if (codec == DictCodec.name) {
       // dict-domain matching: translate the pattern to dictionary indices
       // once (an absent token proves the chunk matchless — an exact gate,
-      // stronger than the bloom); rows then match on bit-packed indices and
-      // token values never materialize.
+      // stronger than the bloom); rows then match IN PLACE on the bit-packed
+      // index stream via the phase-image matcher (dict = bitpack at width
+      // bitsFor(card−1), base 0) — neither indices nor token values ever
+      // materialize per row.
       DictMatch.translate(EvalCaches.dict(header), partsArr) match {
         case None => return new GenericArrayData(Array.empty[Any])
         case Some(idxParts) =>
-          val dec = EvalCaches.indexDecoder(header)
+          val prep = PackedAnchor.prepareDict(header, mode, idxParts)
           var i = 0
           while (i < rowCount) {
-            nextId(TokenMatch.eval(mode, idxParts, dec.decode(data, offs(i), offs(i + 1))))
+            nextId(prep.evalRow(data, offs(i), offs(i + 1)))
             i += 1
           }
       }

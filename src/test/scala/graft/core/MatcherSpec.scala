@@ -280,12 +280,36 @@ class MatcherSpec extends AnyFunSuite {
       nonEmpty.indices.forall { i =>
         Seq(PatternMode.Contains, PatternMode.Prefix, PatternMode.Suffix, PatternMode.Equals)
           .forall { mode =>
-            val got = DictMatch.translate(dict, Array(part)) match {
+            val want = TokenMatch.eval(mode, Array(part), nonEmpty(i))
+            val gotIdx = DictMatch.translate(dict, Array(part)) match {
               case None => false // token absent from chunk: no row can match
               case Some(idxParts) =>
                 TokenMatch.eval(mode, idxParts, dec.decode(data, off(i), off(i + 1)))
             }
-            got == TokenMatch.eval(mode, Array(part), nonEmpty(i))
+            // the engine's in-place path (non-equals modes): phase images
+            // over the packed index stream, no per-row index array
+            val gotPacked =
+              if (mode == PatternMode.Equals) want
+              else DictMatch.translate(dict, Array(part)) match {
+                case None => false
+                case Some(idxParts) =>
+                  PackedAnchor.prepareDict(header, mode, idxParts)
+                    .evalRow(data, off(i), off(i + 1))
+              }
+            gotIdx == want && gotPacked == want
+          } && {
+            // multi-infix through the same in-place path: ordered greedy
+            // over the two halves of the part
+            val mi = PatternMode.normalize(PatternMode.MultiInfix,
+              Array(part.take(part.length / 2), part.drop(part.length / 2)))
+            val wantMi = TokenMatch.multiInfix(nonEmpty(i), mi)
+            val gotMi = DictMatch.translate(dict, mi) match {
+              case None => false
+              case Some(idxParts) =>
+                PackedAnchor.prepareDict(header, PatternMode.MultiInfix, idxParts)
+                  .evalRow(data, off(i), off(i + 1))
+            }
+            gotMi == wantMi
           }
       }
     })
