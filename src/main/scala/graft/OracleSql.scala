@@ -123,6 +123,20 @@ object OracleSql {
        |FROM __m GROUP BY doc_id""".stripMargin
   }
 
+  /** Compressed-domain truncation (encode.Truncate semantics): every
+    * document keeps its first `maxLen` tokens; fingerprint identical to
+    * scrubDecodeSql (count, sum, position-weighted sum) so a mis-cut or a
+    * reordered splice fails the oracle. Position filter over __tok slices
+    * the same tokenizer population (docs with zero words never become
+    * TokenRows on the Spark side either).
+    */
+  def truncateDecodeSql(maxLen: Int): String =
+    s"""WITH $tokenizeCtes
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  CAST(sum(tok) AS BIGINT) AS tok_sum,
+       |  CAST(sum(CAST(tok AS BIGINT) * i) AS BIGINT) AS pos_sum
+       |FROM __tok WHERE i <= $maxLen GROUP BY doc_id""".stripMargin
+
   /** SimHash near-dup pairs (Dedup.simhashPairs semantics): unigram
     * splitmix64 → 64-bit majority signature → 4×16-bit band buckets →
     * exact Hamming ≤ maxHamming.

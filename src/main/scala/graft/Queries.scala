@@ -416,6 +416,26 @@ object Queries {
         "acc -> acc.s)").as("pos_sum"))
   }
 
+  /** Compressed-domain sequence TRUNCATION (encode.Truncate): every document
+    * is capped at 48 tokens directly over the encoded chunk table — the
+    * max-seq-len cutoff of a training pipeline. Rows at or under the cap
+    * (and whole chunks without a long row) splice through byte-identical;
+    * long rows cut in their own codec domain (FSST splices the code stream
+    * at the last symbol boundary and re-encodes only the crossing symbol's
+    * kept expansion). Decoded and fingerprinted exactly like q_scrub_decode
+    * (the positional term catches a mis-cut); DuckDB slices the word list.
+    */
+  def truncateDecode(spark: SparkSession, dir: String): DataFrame = {
+    val truncated = graft.encode.Truncate.truncate(autoChunks(spark, dir), 48).toDF()
+    EncodeJob.decodeDf(truncated).select(
+      col("doc_id").cast("bigint").as("doc_id"),
+      col("n_tok").cast("bigint").as("n_tok"),
+      expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("tok_sum"),
+      expr("aggregate(tokens, named_struct('s', 0L, 'i', 1L), " +
+        "(acc, x) -> named_struct('s', acc.s + CAST(x AS BIGINT) * acc.i, 'i', acc.i + 1L), " +
+        "acc -> acc.s)").as("pos_sum"))
+  }
+
   /** Late-materialized SAMPLING: the deterministic mixture-sampling
     * predicate (splitmix64(doc_id) mod 100 vs per-source rate) filters the
     * encoded view BEFORE any decode, so only surviving rows pay decode_row —
@@ -572,6 +592,7 @@ object Queries {
     "q_repetition_encoded" -> PipelineQueries.oracles("q_repetition_scores"),
     "q_scrub_decode" ->
       OracleSql.scrubDecodeSql(Seq("dup", "spark", "vector"), "table"),
+    "q_truncate_decode" -> OracleSql.truncateDecodeSql(48),
     "q_compact_roundtrip" ->
       s"SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tok FROM documents",
     "q_sample_decode_encoded" ->
@@ -609,6 +630,7 @@ object Queries {
     "q_pack_sequences_encoded" -> (packSequencesEncoded _),
     "q_repetition_encoded" -> (repetitionScoresEncoded _),
     "q_scrub_decode" -> (scrubDecode _),
+    "q_truncate_decode" -> (truncateDecode _),
     "q_compact_roundtrip" -> (compactRoundtrip _),
     "q_sample_decode_encoded" -> (sampleDecodeEncoded _),
     "q_dedup_exact_encoded" -> (dedupExactEncoded _),

@@ -173,8 +173,9 @@ object Scrub {
 
   /** Streaming stats over rewritten values: zone map, blooms, distinct count
     * (exact via hash set — bounded by the chunk's token count), max run.
+    * Shared with [[Truncate]]'s stats recomputation.
     */
-  private final class StatsAcc {
+  private[encode] final class StatsAcc {
     var minTok: Int = Int.MaxValue
     var maxTok: Int = Int.MinValue
     var maxRun: Int = 0

@@ -626,6 +626,37 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("compressed-domain truncate equals decoded-domain take per codec; pass-through byte-identical") {
+    val L = 40
+    val want = input.toDF().select(col("doc_id"),
+      expr(s"slice(tokens, 1, $L)").as("tokens"))
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw", "auto")) {
+      val opts =
+        if (codecName == "auto") EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)
+        else EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))
+      val table = EncodeJob.encode(input, opts).toDF()
+      val truncated = graft.encode.Truncate.truncate(table, L).toDF()
+      val got = EncodeJob.decodeDf(truncated).select(col("doc_id"), col("tokens"))
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: truncated decode differs from decoded-domain take")
+      // read-side cross-checks on the truncated table: the lazy view sees
+      // capped lengths, and a pattern scan still matches within the kept head
+      assert(Graft.encodedRows(truncated).filter(size(col("tokens")) > L).count() == 0,
+        s"$codecName: rows over the cap survive truncation")
+      val pat = Seq(vocab("value"), vocab("table"))
+      val wantPat = want.filter(Graft.containsTokens(col("tokens"), pat)).select("doc_id")
+      val gotPat = Graft.scanPattern(truncated, PatternMode.Contains, Seq(pat))
+      assert(wantPat.except(gotPat).isEmpty && gotPat.except(wantPat).isEmpty,
+        s"$codecName: contains scan on truncated table differs from oracle")
+      // pass-through: a cap at/above every row length touches nothing
+      val untouched = graft.encode.Truncate.truncate(table, 1 << 20).toDF()
+      val lhs = untouched.select("chunk_id", "codec", "crc")
+      val rhs = table.select("chunk_id", "codec", "crc")
+      assert(lhs.except(rhs).isEmpty && rhs.except(lhs).isEmpty,
+        s"$codecName: clean chunks did not pass through byte-identical")
+    }
+  }
+
   test("chunk compaction merges small chunks without decode per codec; idempotent; read-side intact") {
     import spark.implicits._
     val want = input.toDF().select(col("doc_id"), col("tokens"))

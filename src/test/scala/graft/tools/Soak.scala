@@ -122,14 +122,25 @@ object Soak {
       val offs = new Array[Int](rows.length + 1)
       rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
       val dec = DictCodec.indexDecoder(header)
+      val data = out.toBytes
       rows.indices.forall { i =>
         Seq(PatternMode.Contains, PatternMode.Prefix, PatternMode.Suffix, PatternMode.Equals)
           .forall { m =>
-            val got = DictMatch.translate(dict, Array(part)) match {
+            val want = TokenMatch.eval(m, Array(part), rows(i))
+            val gotIdx = DictMatch.translate(dict, Array(part)) match {
               case None => false
-              case Some(ip) => TokenMatch.eval(m, ip, dec.decode(out.toBytes, offs(i), offs(i + 1)))
+              case Some(ip) => TokenMatch.eval(m, ip, dec.decode(data, offs(i), offs(i + 1)))
             }
-            got == TokenMatch.eval(m, Array(part), rows(i))
+            // the engine's in-place path (non-equals modes): phase-image
+            // matching on the packed index stream, no row decode
+            val gotPacked =
+              if (m == PatternMode.Equals) want
+              else DictMatch.translate(dict, Array(part)) match {
+                case None => false
+                case Some(ip) =>
+                  PackedAnchor.prepareDict(header, m, ip).evalRow(data, offs(i), offs(i + 1))
+              }
+            gotIdx == want && gotPacked == want
           }
       }
     }, 2000)
@@ -331,6 +342,47 @@ object Soak {
                 !SetMatch.evalRow(sc.codec, scHeader, sc.data, scOffs(i), scOffs(i + 1), sorted)
               }
             roundTrip && noBanned
+          }
+        }, 2000)
+    }
+
+    // compressed-domain truncation: decode(truncate(chunk, L)) must equal the
+    // per-row head take, every row of the rewritten chunk must be
+    // byte-identical to a fresh canonical encode under the (possibly
+    // re-normalized) header — this directly exercises the greedy-prefix
+    // splice proof, incl. FSST's crossing-symbol re-encode — and a cap
+    // at/above the longest row must return the chunk object unchanged.
+    for (codec <- Codecs.all) {
+      check(s"truncate-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks), Gen.choose(0, 80)) { (rowsL, maxLen) =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val ids = rows.indices.map(i => s"d$i").toArray
+            val c = graft.format.ChunkOps.build(1L, 0, ids, "s",
+              TokenRows.ofArrays(rows), forceCodec = Some(codec.name))
+            val tc = graft.encode.Truncate.truncateChunk(c, maxLen)
+            val want = rows.map(_.take(maxLen))
+            val decoded = graft.format.ChunkOps.decodeAll(tc).toIndexedSeq
+            val roundTrip = decoded.length == rows.length &&
+              decoded.indices.forall(i => decoded(i).doc_id == ids(i) &&
+                java.util.Arrays.equals(decoded(i).tokens, want(i)))
+            val enc = Codecs.byName(tc.codec).encoder(tc.symtab)
+            val offs = graft.format.Offsets.unpack(tc.offsets, tc.row_count)
+            val canonical = rows.indices.forall { i =>
+              val w = new ByteWriter()
+              enc.encode(want(i), w)
+              val b = w.toBytes
+              b.length == offs(i + 1) - offs(i) &&
+                b.indices.forall(j => b(j) == tc.data(offs(i) + j))
+            }
+            val maxRow = rows.map(_.length).max
+            val passThrough = graft.encode.Truncate.truncateChunk(c, maxRow) eq c
+            val totalsOk = tc.n_tokens == want.map(_.length.toLong).sum
+            roundTrip && canonical && passThrough && totalsOk
           }
         }, 2000)
     }
