@@ -137,6 +137,16 @@ object OracleSql {
        |  CAST(sum(CAST(tok AS BIGINT) * i) AS BIGINT) AS pos_sum
        |FROM __tok WHERE i <= $maxLen GROUP BY doc_id""".stripMargin
 
+  /** Read-side head projection (DecodeHead semantics): per-document sum and
+    * count over the first `k` tokens only.
+    */
+  def headDecodeSql(k: Int): String =
+    s"""WITH $tokenizeCtes
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(sum(tok) AS BIGINT) AS head_sum,
+       |  CAST(count(*) AS BIGINT) AS n_head
+       |FROM __tok WHERE i <= $k GROUP BY doc_id""".stripMargin
+
   /** SimHash near-dup pairs (Dedup.simhashPairs semantics): unigram
     * splitmix64 → 64-bit majority signature → 4×16-bit band buckets →
     * exact Hamming ≤ maxHamming.

@@ -436,6 +436,20 @@ object Queries {
         "acc -> acc.s)").as("pos_sum"))
   }
 
+  /** Read-side HEAD projection: `slice(tokens, 1, 16)` on the encoded view
+    * rewrites (PushPatternIntoCompressed) into `decode_head`, a partial
+    * decode that materializes only each row's first 16 tokens — O(k) per
+    * row instead of O(row), the read-side dual of q_truncate_decode's
+    * write-side cut. n_head comes from the varint row prefix
+    * (least(size, k) → row_token_count), so the full row never decodes
+    * anywhere in this plan. DuckDB recomputes head sums positionally.
+    */
+  def headDecode(spark: SparkSession, dir: String): DataFrame =
+    Graft.encodedRows(autoChunks(spark, dir)).select(
+      col("doc_id").cast("bigint").as("doc_id"),
+      expr("aggregate(slice(tokens, 1, 16), 0L, (a, x) -> a + x)").as("head_sum"),
+      least(size(col("tokens")), lit(16)).cast("long").as("n_head"))
+
   /** Late-materialized SAMPLING: the deterministic mixture-sampling
     * predicate (splitmix64(doc_id) mod 100 vs per-source rate) filters the
     * encoded view BEFORE any decode, so only surviving rows pay decode_row —
@@ -593,6 +607,7 @@ object Queries {
     "q_scrub_decode" ->
       OracleSql.scrubDecodeSql(Seq("dup", "spark", "vector"), "table"),
     "q_truncate_decode" -> OracleSql.truncateDecodeSql(48),
+    "q_head_decode" -> OracleSql.headDecodeSql(16),
     "q_compact_roundtrip" ->
       s"SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tok FROM documents",
     "q_sample_decode_encoded" ->
@@ -631,6 +646,7 @@ object Queries {
     "q_repetition_encoded" -> (repetitionScoresEncoded _),
     "q_scrub_decode" -> (scrubDecode _),
     "q_truncate_decode" -> (truncateDecode _),
+    "q_head_decode" -> (headDecode _),
     "q_compact_roundtrip" -> (compactRoundtrip _),
     "q_sample_decode_encoded" -> (sampleDecodeEncoded _),
     "q_dedup_exact_encoded" -> (dedupExactEncoded _),

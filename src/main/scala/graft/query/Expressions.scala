@@ -87,6 +87,45 @@ case class DecodeRow(enc: Expression, header: Expression, codecName: Expression)
     copy(enc = f, header = s, codecName = t)
 }
 
+/** Partial decode of a row's first k tokens (read-side head projection):
+  * the pushdown rule rewrites `slice(decode_row(…), 1, k)` into this, so
+  * head-of-document features on the encoded view decode O(k) tokens per
+  * row instead of the whole row — the read-side dual of encode.Truncate.
+  */
+case class DecodeHead(enc: Expression, header: Expression, codecName: Expression, k: Int)
+    extends TernaryExpression {
+  override def first: Expression = enc
+  override def second: Expression = header
+  override def third: Expression = codecName
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = enc.nullable || header.nullable || codecName.nullable
+  override def prettyName: String = "decode_head"
+
+  // head decoder per (codec, header): header parsed once per chunk
+  @transient private lazy val decoders =
+    scala.collection.concurrent.TrieMap.empty[String, HeaderCache[HeadRowDecoder]]
+
+  def decodeOne(e: Array[Byte], h: Array[Byte], c: UTF8String): ArrayData = {
+    val codec = c.toString
+    val dec = decoders.getOrElseUpdate(codec,
+      new HeaderCache[HeadRowDecoder](hh => HeadDecode.decoder(codec, hh))).get(h)
+    UnsafeArrayData.fromPrimitiveArray(dec.decodeHead(e, 0, e.length, k))
+  }
+
+  override protected def nullSafeEval(e: Any, h: Any, c: Any): Any =
+    decodeOne(e.asInstanceOf[Array[Byte]], h.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("decodeHead", this, classOf[DecodeHead].getName)
+    nullSafeCodeGen(ctx, ev, (e, h, c) => s"${ev.value} = $ref.decodeOne($e, $h, $c);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(enc = f, header = s, codecName = t)
+}
+
 /** Token-domain pattern predicate on a decoded/raw array<int> column. The
   * logical marker the pushdown rule looks for; also the fallback physical
   * path (decode-then-match, the reference's StdEngine baseline,

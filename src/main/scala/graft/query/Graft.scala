@@ -28,6 +28,12 @@ object PushPatternIntoCompressed extends Rule[LogicalPlan] {
     // size(tokens) on the encoded view reads the prefix instead of decoding
     case org.apache.spark.sql.catalyst.expressions.Size(DecodeRow(enc, _, _), _) =>
       RowTokenCount(enc)
+    // head pushdown: every codec's payload is prefix-structured, so
+    // slice(tokens, 1, k) decodes only the first k tokens of each row
+    case org.apache.spark.sql.catalyst.expressions.Slice(DecodeRow(enc, header, codec),
+        org.apache.spark.sql.catalyst.expressions.IntegerLiteral(1),
+        org.apache.spark.sql.catalyst.expressions.IntegerLiteral(k)) if k >= 0 =>
+      DecodeHead(enc, header, codec, k)
   }
 }
 
@@ -98,6 +104,8 @@ object Graft {
       es => TokenSetMatch(es.head, litInts(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("decode_row",
       es => DecodeRow(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("decode_head",
+      es => DecodeHead(es(0), es(1), es(2), litInt(es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => graft.pipeline.CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",

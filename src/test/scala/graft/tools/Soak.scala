@@ -387,6 +387,32 @@ object Soak {
         }, 2000)
     }
 
+    // read-side head projection: partial decode of the first k tokens must
+    // equal full-decode + take for every codec, on the same encoded bytes
+    for (codec <- Codecs.all) {
+      check(s"head-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks), Gen.choose(0, 80)) { (rowsL, k) =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val header = codec.buildHeader(rows, stats)
+            val enc = codec.encoder(header)
+            val out = new ByteWriter()
+            val offs = new Array[Int](rows.length + 1)
+            rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+            val data = out.toBytes
+            val hd = HeadDecode.decoder(codec.name, header)
+            rows.indices.forall { i =>
+              java.util.Arrays.equals(
+                hd.decodeHead(data, offs(i), offs(i + 1), k), rows(i).take(k))
+            }
+          }
+        }, 2000)
+    }
+
     // compressed-domain compaction: splice/merge small sibling chunks and
     // require the decoded (doc_id -> tokens) map unchanged, totals conserved,
     // and every output chunk self-consistent (decodeAll re-checks the crc).
