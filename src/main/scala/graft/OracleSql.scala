@@ -147,6 +147,19 @@ object OracleSql {
        |  CAST(count(*) AS BIGINT) AS n_head
        |FROM __tok WHERE i <= $k GROUP BY doc_id""".stripMargin
 
+  /** Read-side tail projection (DecodeTail semantics): per-document sum and
+    * count over the LAST `k` tokens, with builtin slice semantics — a
+    * document shorter than k contributes (0, 0), exactly like
+    * `slice(tokens, −k, k)` resolving to an empty array.
+    */
+  def tailDecodeSql(k: Int): String =
+    s"""WITH $tokenizeCtes,
+       |__n AS (SELECT doc_id, count(*) AS n FROM __tok GROUP BY doc_id)
+       |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       |  CAST(sum(CASE WHEN n.n >= $k AND t.i > n.n - $k THEN t.tok ELSE 0 END) AS BIGINT) AS tail_sum,
+       |  CAST(sum(CASE WHEN n.n >= $k AND t.i > n.n - $k THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+       |FROM __tok t JOIN __n n USING (doc_id) GROUP BY t.doc_id""".stripMargin
+
   /** SimHash near-dup pairs (Dedup.simhashPairs semantics): unigram
     * splitmix64 → 64-bit majority signature → 4×16-bit band buckets →
     * exact Hamming ≤ maxHamming.

@@ -450,6 +450,21 @@ object Queries {
       expr("aggregate(slice(tokens, 1, 16), 0L, (a, x) -> a + x)").as("head_sum"),
       least(size(col("tokens")), lit(16)).cast("long").as("n_head"))
 
+  /** Read-side TAIL projection: `slice(tokens, -12, 12)` on the encoded
+    * view rewrites into `decode_tail`, which SKIPS to the cut (FSST counts
+    * code lengths without expanding symbols; packed codecs random-access
+    * the bit stream at n−k) and decodes only the last 12 tokens. Builtin
+    * slice semantics are preserved exactly: rows shorter than 12 slice to
+    * EMPTY (min doc length here is 10, so both branches occur). n_tail
+    * derives from the varint prefix — no full decode anywhere.
+    */
+  def tailDecode(spark: SparkSession, dir: String): DataFrame =
+    Graft.encodedRows(autoChunks(spark, dir)).select(
+      col("doc_id").cast("bigint").as("doc_id"),
+      expr("aggregate(slice(tokens, -12, 12), 0L, (a, x) -> a + x)").as("tail_sum"),
+      when(size(col("tokens")) >= 12, lit(12)).otherwise(lit(0))
+        .cast("long").as("n_tail"))
+
   /** Late-materialized SAMPLING: the deterministic mixture-sampling
     * predicate (splitmix64(doc_id) mod 100 vs per-source rate) filters the
     * encoded view BEFORE any decode, so only surviving rows pay decode_row —
@@ -608,6 +623,7 @@ object Queries {
       OracleSql.scrubDecodeSql(Seq("dup", "spark", "vector"), "table"),
     "q_truncate_decode" -> OracleSql.truncateDecodeSql(48),
     "q_head_decode" -> OracleSql.headDecodeSql(16),
+    "q_tail_decode" -> OracleSql.tailDecodeSql(12),
     "q_compact_roundtrip" ->
       s"SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tok FROM documents",
     "q_sample_decode_encoded" ->
@@ -647,6 +663,7 @@ object Queries {
     "q_scrub_decode" -> (scrubDecode _),
     "q_truncate_decode" -> (truncateDecode _),
     "q_head_decode" -> (headDecode _),
+    "q_tail_decode" -> (tailDecode _),
     "q_compact_roundtrip" -> (compactRoundtrip _),
     "q_sample_decode_encoded" -> (sampleDecodeEncoded _),
     "q_dedup_exact_encoded" -> (dedupExactEncoded _),

@@ -353,6 +353,40 @@ object BitPack {
   }
   def pack(toks: Array[Int], f: Int => Int, width: Int, out: ByteWriter): Unit =
     pack(toks, 0, toks.length, f, width, out)
+  /** Unpack n values starting at value index `startIdx` of an LSB-first
+    * packed payload at `from` — random access into the bit stream (tail
+    * projections, anchored compares).
+    */
+  def unpackAt(bytes: Array[Byte], from: Int, startIdx: Long, n: Int, width: Int,
+               f: Int => Int): Array[Int] = {
+    val out = new Array[Int](n)
+    if (width == 0) {
+      var i = 0
+      while (i < n) { out(i) = f(0); i += 1 }
+      return out
+    }
+    val bitPos = startIdx * width
+    var pos = from + (bitPos >>> 3).toInt
+    var acc = 0L
+    var nbits = 0
+    val skip = (bitPos & 7L).toInt
+    if (skip > 0) {
+      acc = (bytes(pos) & 0xffL) >>> skip
+      nbits = 8 - skip
+      pos += 1
+    }
+    val mask = if (width == 32) 0xffffffffL else (1L << width) - 1
+    var i = 0
+    while (i < n) {
+      while (nbits < width) { acc |= (bytes(pos) & 0xffL) << nbits; pos += 1; nbits += 8 }
+      out(i) = f((acc & mask).toInt)
+      acc >>>= width
+      nbits -= width
+      i += 1
+    }
+    out
+  }
+
   def unpack(bytes: Array[Byte], from: Int, n: Int, width: Int, f: Int => Int): Array[Int] = {
     val out = new Array[Int](n)
     if (width == 0) {

@@ -84,7 +84,7 @@ object HeadDecode {
     }
   }
 
-  private final class FsstHead(st: SymTab) extends HeadRowDecoder {
+  private[core] final class FsstHead(st: SymTab) extends HeadRowDecoder {
     private val flat = st.flatTokens
     private val flatOff = st.flatOffsets
     def decodeHead(bytes: Array[Byte], from: Int, to: Int, k: Int): Array[Int] = {
@@ -117,6 +117,159 @@ object HeadDecode {
           var j = flatOff(c)
           val e = flatOff(c + 1)
           while (j < e && i < m) { out(i) = flat(j); i += 1; j += 1 }
+        }
+      }
+      out
+    }
+  }
+}
+
+/** Partial SUFFIX decode: the last k tokens of one encoded row, with the
+  * exact semantics of Spark's `slice(arr, -k, k)` — a row SHORTER than k
+  * returns EMPTY (the builtin resolves a negative start index past the
+  * front to an empty slice), so the optimizer rewrite is a strict
+  * equivalence. Packed codecs random-access the bit stream at index n−k
+  * ([[BitPack.unpackAt]]); RLE/raw skip runs/varints to the cut; FSST walks
+  * code lengths WITHOUT expanding symbols until the cut (one length-table
+  * load per code byte, escapes skipped without zigzag decode — the same
+  * skip phase as the positional suffix matcher), then decodes k tokens,
+  * taking the suffix of a cut-straddling symbol.
+  */
+trait TailRowDecoder {
+  def decodeTail(bytes: Array[Byte], from: Int, to: Int, k: Int): Array[Int]
+}
+
+object TailDecode {
+
+  def decoder(codec: String, header: Array[Byte]): TailRowDecoder = codec match {
+    case FsstTokenCodec.name => new FsstTail(SymTab.fromBytes(header))
+    case DictCodec.name =>
+      val dict = DictCodec.readDict(header)
+      new PackedTail(BitPack.bitsFor(math.max(dict.length - 1, 0)), hasBase = false, dict)
+    case BitPackCodec.name => new PackedTail(header(0) & 0xff, hasBase = false, null)
+    case ForCodec.name     => new PackedTail(header(0) & 0xff, hasBase = true, null)
+    case RleCodec.name     => RleTail
+    case RawCodec.name     => RawTail
+    case other =>
+      val d = Codecs.byName(other).decoder(header)
+      (bytes: Array[Byte], from: Int, to: Int, k: Int) => {
+        val row = d.decode(bytes, from, to)
+        if (row.length < k || k < 0) Array.emptyIntArray else row.takeRight(k)
+      }
+  }
+
+  /** One-shot eval (tests/fuzz; hot paths hold a decoder instead). */
+  def eval(codec: String, header: Array[Byte], bytes: Array[Byte],
+           from: Int, to: Int, k: Int): Array[Int] =
+    decoder(codec, header).decodeTail(bytes, from, to, k)
+
+  private object RawTail extends TailRowDecoder {
+    def decodeTail(bytes: Array[Byte], from: Int, to: Int, k: Int): Array[Int] = {
+      val r = new ByteReader(bytes, from, to)
+      val n = r.readVarUInt()
+      if (k < 0 || n < k) return Array.emptyIntArray
+      var skip = n - k
+      while (skip > 0) { r.readVarUInt(); skip -= 1 } // zigzag varints scan the same
+      val out = new Array[Int](k)
+      var i = 0
+      while (i < k) { out(i) = r.readZigZag(); i += 1 }
+      out
+    }
+  }
+
+  private object RleTail extends TailRowDecoder {
+    def decodeTail(bytes: Array[Byte], from: Int, to: Int, k: Int): Array[Int] = {
+      val r = new ByteReader(bytes, from, to)
+      val n = r.readVarUInt()
+      if (k < 0 || n < k) return Array.emptyIntArray
+      val out = new Array[Int](k)
+      val cut = n - k
+      var cnt = 0
+      var i = 0
+      while (i < k) {
+        val run = r.readVarUInt()
+        val v = r.readZigZag()
+        if (cnt + run > cut) {
+          // emit the run's tokens past the cut
+          var j = math.max(cut - cnt, 0)
+          while (j < run && i < k) { out(i) = v; i += 1; j += 1 }
+        }
+        cnt += run
+      }
+      out
+    }
+  }
+
+  private final class PackedTail(width: Int, hasBase: Boolean,
+                                 table: Array[Int]) extends TailRowDecoder {
+    def decodeTail(bytes: Array[Byte], from: Int, to: Int, k: Int): Array[Int] = {
+      val r = new ByteReader(bytes, from, to)
+      val n = r.readVarUInt()
+      if (k < 0 || n < k) return Array.emptyIntArray
+      if (k == 0) return Array.emptyIntArray
+      val base = if (hasBase) r.readZigZag() else 0
+      if (table != null) BitPack.unpackAt(bytes, r.pos, (n - k).toLong, k, width, i => table(i))
+      else BitPack.unpackAt(bytes, r.pos, (n - k).toLong, k, width, d => d + base)
+    }
+  }
+
+  private final class FsstTail(st: SymTab) extends TailRowDecoder {
+    private val flat = st.flatTokens
+    private val flatOff = st.flatOffsets
+    private val lens = st.lens
+    def decodeTail(bytes: Array[Byte], from: Int, to: Int, k: Int): Array[Int] = {
+      var pos = from
+      var n = 0
+      var shift = 0
+      var b0 = 0
+      do {
+        b0 = bytes(pos) & 0xff; pos += 1
+        n |= (b0 & 0x7f) << shift; shift += 7
+      } while ((b0 & 0x80) != 0)
+      if (k < 0 || n < k) return Array.emptyIntArray
+      val out = new Array[Int](k)
+      val cut = n - k
+      var cnt = 0
+      var i = 0
+      // skip phase: count tokens per code byte, never expand symbols
+      while (cnt < cut) {
+        val c = bytes(pos) & 0xff
+        pos += 1
+        if (c == SymTab.EscapeCode) {
+          while ((bytes(pos) & 0x80) != 0) pos += 1
+          pos += 1
+          cnt += 1
+        } else {
+          val len = lens(c)
+          if (cnt + len <= cut) cnt += len
+          else {
+            // cut lands inside this symbol: emit its suffix and stop skipping
+            // (suffix length = cnt+len−cut ≤ n−cut = k, so no bound check)
+            var j = flatOff(c) + (cut - cnt)
+            val e = flatOff(c + 1)
+            while (j < e) { out(i) = flat(j); i += 1; j += 1 }
+            cnt = cut
+          }
+        }
+      }
+      // decode phase: the remaining code stream spells exactly k−i tokens
+      while (i < k) {
+        val c = bytes(pos) & 0xff
+        pos += 1
+        if (c == SymTab.EscapeCode) {
+          var u = 0
+          var sh = 0
+          var bb = 0
+          do {
+            bb = bytes(pos) & 0xff; pos += 1
+            u |= (bb & 0x7f) << sh; sh += 7
+          } while ((bb & 0x80) != 0)
+          out(i) = (u >>> 1) ^ -(u & 1)
+          i += 1
+        } else {
+          var j = flatOff(c)
+          val e = flatOff(c + 1)
+          while (j < e) { out(i) = flat(j); i += 1; j += 1 }
         }
       }
       out

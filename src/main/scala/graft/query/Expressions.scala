@@ -126,6 +126,46 @@ case class DecodeHead(enc: Expression, header: Expression, codecName: Expression
     copy(enc = f, header = s, codecName = t)
 }
 
+/** Partial decode of a row's LAST k tokens (read-side tail projection):
+  * the pushdown rule rewrites `slice(decode_row(…), −k, k)` into this —
+  * exact builtin semantics incl. rows shorter than k slicing to empty.
+  * FSST skips to the cut via code lengths without expanding symbols (the
+  * suffix matcher's skip phase); packed codecs random-access the bit
+  * stream at index n−k.
+  */
+case class DecodeTail(enc: Expression, header: Expression, codecName: Expression, k: Int)
+    extends TernaryExpression {
+  override def first: Expression = enc
+  override def second: Expression = header
+  override def third: Expression = codecName
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = enc.nullable || header.nullable || codecName.nullable
+  override def prettyName: String = "decode_tail"
+
+  @transient private lazy val decoders =
+    scala.collection.concurrent.TrieMap.empty[String, HeaderCache[TailRowDecoder]]
+
+  def decodeOne(e: Array[Byte], h: Array[Byte], c: UTF8String): ArrayData = {
+    val codec = c.toString
+    val dec = decoders.getOrElseUpdate(codec,
+      new HeaderCache[TailRowDecoder](hh => TailDecode.decoder(codec, hh))).get(h)
+    UnsafeArrayData.fromPrimitiveArray(dec.decodeTail(e, 0, e.length, k))
+  }
+
+  override protected def nullSafeEval(e: Any, h: Any, c: Any): Any =
+    decodeOne(e.asInstanceOf[Array[Byte]], h.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("decodeTail", this, classOf[DecodeTail].getName)
+    nullSafeCodeGen(ctx, ev, (e, h, c) => s"${ev.value} = $ref.decodeOne($e, $h, $c);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(enc = f, header = s, codecName = t)
+}
+
 /** Token-domain pattern predicate on a decoded/raw array<int> column. The
   * logical marker the pushdown rule looks for; also the fallback physical
   * path (decode-then-match, the reference's StdEngine baseline,

@@ -17,7 +17,12 @@ import org.apache.spark.sql.GraftBridge
   * and no SparkStrategy is needed.
   */
 object PushPatternIntoCompressed extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference,
+    IntegerLiteral, NamedExpression, Size, Slice}
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    pushThroughProjects(plan).transformAllExpressions {
     case TokenPatternMatch(DecodeRow(enc, header, codec), mode, parts) =>
       CompressedPatternMatch(enc, header, codec, mode, parts)
     case TokenRangeMatch(DecodeRow(enc, header, codec), lo, hi) =>
@@ -34,6 +39,68 @@ object PushPatternIntoCompressed extends Rule[LogicalPlan] {
         org.apache.spark.sql.catalyst.expressions.IntegerLiteral(1),
         org.apache.spark.sql.catalyst.expressions.IntegerLiteral(k)) if k >= 0 =>
       DecodeHead(enc, header, codec, k)
+    // tail pushdown: slice(tokens, −k, k) = the last k tokens (empty when
+    // the row is shorter — builtin semantics), decoded by skipping to the
+    // cut in the code/bit stream
+    case org.apache.spark.sql.catalyst.expressions.Slice(DecodeRow(enc, header, codec),
+        org.apache.spark.sql.catalyst.expressions.IntegerLiteral(s),
+        org.apache.spark.sql.catalyst.expressions.IntegerLiteral(k)) if s < 0 && k == -s =>
+      DecodeTail(enc, header, codec, k)
+  }
+
+  /** The expression cases above need `decode_row` as the DIRECT child, which
+    * Catalyst provides for predicates (filter pushdown substitutes aliases
+    * into conditions unconditionally) but NOT for projections used more than
+    * once: CollapseProject refuses to inline a non-cheap alias referenced
+    * twice, so `slice(tokens, 1, k)` + `slice(tokens, −k, k)` over the
+    * encoded view keeps `decode_row(…) AS tokens` in a lower Project and the
+    * slices see only the attribute. This case substitutes the decode alias
+    * into REWRITABLE uses only (slice-head/tail, size) — sound duplication,
+    * because each substituted use immediately rewrites to a partial/prefix
+    * read strictly cheaper than the shared full decode — and leaves every
+    * other use on the shared alias untouched. The lower Project grows
+    * pass-through columns for the chunk fields the rewritten expressions
+    * need (column pruning re-trims whatever ends up unused).
+    */
+  private def pushThroughProjects(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(parentList, childP @ Project(childList, _)) =>
+      val decodeAliases = childList.collect {
+        case a @ Alias(d: DecodeRow, _) => a.exprId -> d
+      }.toMap
+      if (decodeAliases.isEmpty) p
+      else {
+        var needed = Set.empty[Attribute]
+        var changed = false
+        def bind(ar: Attribute): DecodeRow = {
+          val d = decodeAliases(ar.exprId)
+          needed ++= d.references
+          changed = true
+          d
+        }
+        val newParent = parentList.map(_.transform {
+          case Slice(ar: AttributeReference, IntegerLiteral(1), IntegerLiteral(k))
+              if k >= 0 && decodeAliases.contains(ar.exprId) =>
+            val d = bind(ar)
+            DecodeHead(d.enc, d.header, d.codecName, k)
+          case Slice(ar: AttributeReference, IntegerLiteral(s), IntegerLiteral(k))
+              if s < 0 && k == -s && decodeAliases.contains(ar.exprId) =>
+            val d = bind(ar)
+            DecodeTail(d.enc, d.header, d.codecName, k)
+          case Size(ar: AttributeReference, _) if decodeAliases.contains(ar.exprId) =>
+            RowTokenCount(bind(ar).enc)
+        }.asInstanceOf[NamedExpression])
+        if (!changed) p
+        else {
+          // re-prune the lower Project ourselves: this batch runs after the
+          // main optimizer's column pruning, so a decode alias this rewrite
+          // orphaned would otherwise still be EVALUATED per row as dead code
+          val parentRefs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+            newParent.flatMap(_.references))
+          val kept = childList.filter(ne => parentRefs.contains(ne.toAttribute))
+          val extra = needed.toSeq.filterNot(a => kept.exists(_.toAttribute.exprId == a.exprId))
+          Project(newParent, childP.copy(projectList = kept ++ extra))
+        }
+      }
   }
 }
 
@@ -106,6 +173,8 @@ object Graft {
       es => DecodeRow(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("decode_head",
       es => DecodeHead(es(0), es(1), es(2), litInt(es(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("decode_tail",
+      es => DecodeTail(es(0), es(1), es(2), litInt(es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => graft.pipeline.CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",

@@ -350,6 +350,29 @@ object PlanAudit {
       println("zone gate: stats.min_tok/max_tok in PushedFilters for " +
         "pattern/range/set scans and late materialization")
     }
+    println("=== [16] round-5 projection algebra: head/tail partial decode, truncate plan ===")
+    locally {
+      // head + tail + length in ONE projection over the shared decode alias:
+      // CollapseProject refuses to inline a non-cheap alias used repeatedly,
+      // so the rule's Project-over-Project case must substitute into each
+      // rewritable use AND re-prune the orphaned decode_row
+      val q = Graft.encodedRows(chunks).select(col("doc_id"),
+        expr("slice(tokens, 1, 8)").as("head"),
+        expr("slice(tokens, -8, 8)").as("tail"),
+        size(col("tokens")).as("n"))
+      val p = q.queryExecution.optimizedPlan.toString
+      require(p.contains("decode_head") && p.contains("decode_tail") &&
+        p.contains("row_token_count") && !p.contains("decode_row"),
+        s"head/tail/length over one shared alias must all push; no decode_row:\n$p")
+      println("projection: decode_head + decode_tail + row_token_count, decode_row pruned")
+
+      // truncation: a per-chunk typed map like scrub — zero exchanges
+      val trp = graft.encode.Truncate.truncate(chunks, 48).toDF()
+        .queryExecution.executedPlan.toString
+      require(!trp.contains("Exchange"),
+        s"truncate must be shuffle-free (per-chunk map):\n$trp")
+      println("truncate: typed per-chunk map, zero exchanges")
+    }
     spark.stop()
   }
 

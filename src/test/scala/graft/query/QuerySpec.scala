@@ -657,33 +657,36 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
-  test("head projection: slice on the encoded view partial-decodes per codec") {
+  test("head/tail projections: slice on the encoded view partial-decodes per codec") {
     val k = 7
-    val want = input.toDF().select(col("doc_id"), expr(s"slice(tokens, 1, $k)").as("head"))
+    val kt = 40 // straddles the corpus length distribution: some rows < kt → empty slice
+    val want = input.toDF().select(col("doc_id"),
+      expr(s"slice(tokens, 1, $k)").as("head"), expr(s"slice(tokens, -$kt, $kt)").as("tail"))
     for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw", "auto")) {
       val opts =
         if (codecName == "auto") EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)
         else EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))
       val table = EncodeJob.encode(input, opts).toDF()
-      val got = Graft.encodedRows(table)
-        .select(col("doc_id"), expr(s"slice(tokens, 1, $k)").as("head"))
+      val got = Graft.encodedRows(table).select(col("doc_id"),
+        expr(s"slice(tokens, 1, $k)").as("head"), expr(s"slice(tokens, -$kt, $kt)").as("tail"))
       assert(want.except(got).isEmpty && got.except(want).isEmpty,
-        s"$codecName: head projection differs from decoded-domain slice")
+        s"$codecName: head/tail projection differs from decoded-domain slice")
     }
-    // the rewrite must fire: decode_head in the optimized plan, no decode_row
-    val q = Graft.encodedRows(chunks).select(expr(s"slice(tokens, 1, $k)"))
+    // the rewrites must fire: decode_head + decode_tail, no decode_row
+    val q = Graft.encodedRows(chunks)
+      .select(expr(s"slice(tokens, 1, $k)"), expr(s"slice(tokens, -$kt, $kt)"))
     val optimized = q.queryExecution.optimizedPlan.toString()
-    assert(optimized.contains("decode_head"),
-      s"expected decode_head in optimized plan:\n$optimized")
+    assert(optimized.contains("decode_head") && optimized.contains("decode_tail"),
+      s"expected decode_head and decode_tail in optimized plan:\n$optimized")
     assert(!optimized.contains("decode_row"),
-      s"decode_row should have been eliminated by the head rewrite:\n$optimized")
-    // SQL surface: the registered function agrees with the column API
+      s"decode_row should have been eliminated by the head/tail rewrites:\n$optimized")
+    // SQL surface: the registered functions agree with the column API
     Graft.encodedRows(chunks).createOrReplaceTempView("__head_view")
     val viaSql = spark.sql(
-      s"SELECT doc_id, decode_head(enc, symtab, codec, $k) AS head FROM __head_view")
-    val wantF = input.toDF().select(col("doc_id"), expr(s"slice(tokens, 1, $k)").as("head"))
-    assert(wantF.except(viaSql).isEmpty && viaSql.except(wantF).isEmpty,
-      "SQL decode_head differs from the column-API slice")
+      s"""SELECT doc_id, decode_head(enc, symtab, codec, $k) AS head,
+         |       decode_tail(enc, symtab, codec, $kt) AS tail FROM __head_view""".stripMargin)
+    assert(want.except(viaSql).isEmpty && viaSql.except(want).isEmpty,
+      "SQL decode_head/decode_tail differ from the column-API slices")
   }
 
   test("chunk compaction merges small chunks without decode per codec; idempotent; read-side intact") {

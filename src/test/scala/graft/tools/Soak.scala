@@ -405,9 +405,16 @@ object Soak {
             rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
             val data = out.toBytes
             val hd = HeadDecode.decoder(codec.name, header)
+            val td = TailDecode.decoder(codec.name, header)
             rows.indices.forall { i =>
+              // tail oracle = builtin slice(arr, −k, k): EMPTY when the row
+              // is shorter than k
+              val wantTail =
+                if (rows(i).length >= k) rows(i).takeRight(k) else Array.emptyIntArray
               java.util.Arrays.equals(
-                hd.decodeHead(data, offs(i), offs(i + 1), k), rows(i).take(k))
+                hd.decodeHead(data, offs(i), offs(i + 1), k), rows(i).take(k)) &&
+                java.util.Arrays.equals(
+                  td.decodeTail(data, offs(i), offs(i + 1), k), wantTail)
             }
           }
         }, 2000)
