@@ -123,6 +123,29 @@ object OracleSql {
        |FROM __m GROUP BY doc_id""".stripMargin
   }
 
+  /** Compressed-domain vocabulary remap (encode.Scrub.remap semantics):
+    * each (fromWord → toWord) pair rewrites that token id element-wise,
+    * ONCE per token — the LEFT-JOIN formulation is inherently non-chaining,
+    * so a swap pair {a→b, b→a} exchanges the two, exactly like the chunk
+    * rewrite. Fingerprint identical to scrubDecodeSql.
+    */
+  def remapDecodeSql(pairs: Seq[(String, String)]): String = {
+    val values = pairs.map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+    s"""WITH $tokenizeCtes,
+       |__map AS MATERIALIZED (
+       |  SELECT vk.id AS kid, vv.id AS vid
+       |  FROM (VALUES $values) AS p(kw, vw)
+       |  JOIN __vocab vk ON vk.w = p.kw
+       |  JOIN __vocab vv ON vv.w = p.vw),
+       |__m AS (
+       |  SELECT t.doc_id, t.i, coalesce(m.vid, t.tok) AS tok
+       |  FROM __tok t LEFT JOIN __map m ON t.tok = m.kid)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  CAST(sum(tok) AS BIGINT) AS tok_sum,
+       |  CAST(sum(CAST(tok AS BIGINT) * i) AS BIGINT) AS pos_sum
+       |FROM __m GROUP BY doc_id""".stripMargin
+  }
+
   /** Compressed-domain truncation (encode.Truncate semantics): every
     * document keeps its first `maxLen` tokens; fingerprint identical to
     * scrubDecodeSql (count, sum, position-weighted sum) so a mis-cut or a

@@ -416,6 +416,28 @@ object Queries {
         "acc -> acc.s)").as("pos_sum"))
   }
 
+  /** Compressed-domain vocabulary REMAP (encode.Scrub.remap): the
+    * tokenizer-migration rewrite — {dup↔table swap, spark→vector} applied
+    * element-wise over the encoded chunk table, once per token (the swap
+    * pair pins the non-chaining semantics: a chained rewrite would send
+    * dup→table→dup and fail the positional oracle). Same gates and
+    * canonical-encode guarantees as q_scrub_decode; fingerprinted the same
+    * way; DuckDB reproduces the mapping with a non-chaining LEFT JOIN in
+    * the word domain.
+    */
+  def remapDecode(spark: SparkSession, dir: String): DataFrame = {
+    val v = vocab(spark, dir)
+    val remapped = graft.encode.Scrub.remap(autoChunks(spark, dir),
+      Map(v("dup") -> v("table"), v("table") -> v("dup"), v("spark") -> v("vector"))).toDF()
+    EncodeJob.decodeDf(remapped).select(
+      col("doc_id").cast("bigint").as("doc_id"),
+      col("n_tok").cast("bigint").as("n_tok"),
+      expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("tok_sum"),
+      expr("aggregate(tokens, named_struct('s', 0L, 'i', 1L), " +
+        "(acc, x) -> named_struct('s', acc.s + CAST(x AS BIGINT) * acc.i, 'i', acc.i + 1L), " +
+        "acc -> acc.s)").as("pos_sum"))
+  }
+
   /** Compressed-domain sequence TRUNCATION (encode.Truncate): every document
     * is capped at 48 tokens directly over the encoded chunk table — the
     * max-seq-len cutoff of a training pipeline. Rows at or under the cap
@@ -621,6 +643,9 @@ object Queries {
     "q_repetition_encoded" -> PipelineQueries.oracles("q_repetition_scores"),
     "q_scrub_decode" ->
       OracleSql.scrubDecodeSql(Seq("dup", "spark", "vector"), "table"),
+    "q_remap_decode" ->
+      OracleSql.remapDecodeSql(
+        Seq("dup" -> "table", "table" -> "dup", "spark" -> "vector")),
     "q_truncate_decode" -> OracleSql.truncateDecodeSql(48),
     "q_head_decode" -> OracleSql.headDecodeSql(16),
     "q_tail_decode" -> OracleSql.tailDecodeSql(12),
@@ -661,6 +686,7 @@ object Queries {
     "q_pack_sequences_encoded" -> (packSequencesEncoded _),
     "q_repetition_encoded" -> (repetitionScoresEncoded _),
     "q_scrub_decode" -> (scrubDecode _),
+    "q_remap_decode" -> (remapDecode _),
     "q_truncate_decode" -> (truncateDecode _),
     "q_head_decode" -> (headDecode _),
     "q_tail_decode" -> (tailDecode _),

@@ -221,10 +221,14 @@ object HashMatch {
       val n = r.readVarUInt()
       var a1 = 0L; var a2 = 0L
       if (width == 0) {
-        val v1 = if (t1 != null) t1(0) else m1(base1.toInt)
-        val v2 = if (t2 != null) t2(0) else m2(base2.toInt)
-        var k = 0
-        while (k < n) { a1 = a1 * B1 + v1; a2 = a2 * B2 + v2; k += 1 }
+        // n == 0 guards the table load: an all-empty-rows chunk has an
+        // EMPTY dictionary (t1.length == 0) at width 0
+        if (n > 0) {
+          val v1 = if (t1 != null) t1(0) else m1(base1.toInt)
+          val v2 = if (t2 != null) t2(0) else m2(base2.toInt)
+          var k = 0
+          while (k < n) { a1 = a1 * B1 + v1; a2 = a2 * B2 + v2; k += 1 }
+        }
       } else {
         var acc = 0L
         var nbits = 0

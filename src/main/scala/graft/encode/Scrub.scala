@@ -49,36 +49,63 @@ object Scrub {
     */
   def scrub(chunks: DataFrame, banned: Seq[Int], unk: Int): Dataset[EncodedChunk] = {
     val sorted = SetMatch.sortedSet(banned.toArray)
+    val vals = Array.fill(sorted.length)(unk)
     val spark = chunks.sparkSession
     import spark.implicits._
-    chunks.as[EncodedChunk].map(c => scrubChunk(c, sorted, unk))
+    chunks.as[EncodedChunk].map(c => remapChunk(c, sorted, vals))
   }
 
   /** Scrub one chunk. `banned` must be sorted distinct ([[SetMatch.sortedSet]]). */
-  def scrubChunk(c: EncodedChunk, banned: Array[Int], unk: Int): EncodedChunk = {
+  def scrubChunk(c: EncodedChunk, banned: Array[Int], unk: Int): EncodedChunk =
+    remapChunk(c, banned, Array.fill(banned.length)(unk))
+
+  /** Vocabulary REMAP over an encoded chunk table — the tokenizer-migration
+    * generalization of [[scrub]]: every token equal to `mapping`'s key
+    * rewrites to its value (applied element-wise, ONCE per token — a swap
+    * {a→b, b→a} exchanges the two, it does not chain). Same gates, same
+    * per-codec rewrite paths, same canonical-encode guarantees as scrub;
+    * identity pairs are dropped up front so a no-op mapping passes every
+    * chunk through byte-identical.
+    */
+  def remap(chunks: DataFrame, mapping: Map[Int, Int]): Dataset[EncodedChunk] = {
+    val pairs = mapping.toArray.filter { case (k, v) => k != v }.sortBy(_._1)
+    val keys = pairs.map(_._1)
+    val vals = pairs.map(_._2)
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.as[EncodedChunk].map(c => remapChunk(c, keys, vals))
+  }
+
+  /** Rewrite one chunk under (sorted keys → vals). Cheapest sound path
+    * first, exactly as documented on the object.
+    */
+  def remapChunk(c: EncodedChunk, keys: Array[Int], vals: Array[Int]): EncodedChunk = {
     require(c.ver == ChunkOps.FormatVersion,
       s"chunk ${c.chunk_id}: unsupported chunk format version ${c.ver}")
-    if (banned.isEmpty) return c
+    require(keys.length == vals.length, "keys/vals must be parallel arrays")
+    if (keys.isEmpty) return c
     // chunk gates: zone map, bloom, and (dict) exact dictionary intersection
-    if (!SetMatch.chunkOverlaps(banned, c.stats.min_tok, c.stats.max_tok)) return c
-    if (!SetMatch.chunkMayContainAny(c.stats.symbol_bitmap, banned)) return c
+    if (!SetMatch.chunkOverlaps(keys, c.stats.min_tok, c.stats.max_tok)) return c
+    if (!SetMatch.chunkMayContainAny(c.stats.symbol_bitmap, keys)) return c
     c.codec match {
-      case "rle" => scrubRle(c, banned, unk)
+      case "rle" => scrubRle(c, keys, vals)
       case "dict" =>
         val dict = DictCodec.readDict(c.symtab)
-        if (!dict.exists(v => SetMatch.contains(banned, v))) c
-        else scrubDict(c, dict, banned, unk)
-      case _ => reencode(c, banned, unk)
+        if (!dict.exists(v => SetMatch.contains(keys, v))) c
+        else scrubDict(c, dict, keys, vals)
+      case _ => reencode(c, keys, vals)
     }
   }
 
-  @inline private def map1(v: Int, banned: Array[Int], unk: Int): Int =
-    if (SetMatch.contains(banned, v)) unk else v
+  @inline private def map1(v: Int, keys: Array[Int], vals: Array[Int]): Int = {
+    val idx = java.util.Arrays.binarySearch(keys, v)
+    if (idx >= 0) vals(idx) else v
+  }
 
   /** Run-domain rewrite: membership per RUN, adjacent runs merged when their
     * values collapse, stats rebuilt from the runs themselves.
     */
-  private def scrubRle(c: EncodedChunk, banned: Array[Int], unk: Int): EncodedChunk = {
+  private def scrubRle(c: EncodedChunk, keys: Array[Int], vals: Array[Int]): EncodedChunk = {
     val out = new ByteWriter(c.data.length)
     val offs = Offsets.unpack(c.offsets, c.row_count)
     val ends = new Array[Int](c.row_count)
@@ -93,7 +120,7 @@ object Scrub {
       var pendVal = 0
       while (left > 0) {
         val runLen = r.readVarUInt()
-        val v = map1(r.readZigZag(), banned, unk)
+        val v = map1(r.readZigZag(), keys, vals)
         left -= runLen
         if (pendLen > 0 && v == pendVal) pendLen += runLen
         else {
@@ -113,9 +140,9 @@ object Scrub {
     * indices at the new width. Equals a fresh canonical dict encode because
     * the old dictionary is exactly the chunk's distinct value set.
     */
-  private def scrubDict(c: EncodedChunk, dict: Array[Int], banned: Array[Int],
-                        unk: Int): EncodedChunk = {
-    val mapped = dict.map(v => map1(v, banned, unk))
+  private def scrubDict(c: EncodedChunk, dict: Array[Int], keys: Array[Int],
+                        vals: Array[Int]): EncodedChunk = {
+    val mapped = dict.map(v => map1(v, keys, vals))
     val newDict = mapped.distinct
     java.util.Arrays.sort(newDict)
     val idxMap = new Array[Int](dict.length)
@@ -154,7 +181,7 @@ object Scrub {
   }
 
   /** Decode → remap → canonical re-encode (auto codec re-selection). */
-  private def reencode(c: EncodedChunk, banned: Array[Int], unk: Int): EncodedChunk = {
+  private def reencode(c: EncodedChunk, keys: Array[Int], vals: Array[Int]): EncodedChunk = {
     val dec = Codecs.byName(c.codec).decoder(c.symtab)
     val offs = Offsets.unpack(c.offsets, c.row_count)
     val rows = new Array[Array[Int]](c.row_count)
@@ -162,7 +189,7 @@ object Scrub {
     while (i < c.row_count) {
       val toks = dec.decode(c.data, offs(i), offs(i + 1))
       var j = 0
-      while (j < toks.length) { toks(j) = map1(toks(j), banned, unk); j += 1 }
+      while (j < toks.length) { toks(j) = map1(toks(j), keys, vals); j += 1 }
       rows(i) = toks
       i += 1
     }

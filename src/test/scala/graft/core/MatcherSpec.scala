@@ -340,6 +340,38 @@ class MatcherSpec extends AnyFunSuite {
     }, n = 300)
   }
 
+  test("all-empty-rows chunk: every per-codec kernel survives the empty dictionary (regression)") {
+    // an all-empty-rows chunk built with the dict codec has an EMPTY
+    // dictionary at width 0 — HashMatch.hashPacked used to load t1(0)
+    // eagerly and crash (AIOOBE found by Soak remap-shifted RNG)
+    val rows = IndexedSeq.fill(5)(Array.emptyIntArray)
+    val ids = rows.indices.map(i => s"d$i").toArray
+    for (codec <- Codecs.all) {
+      val c = graft.format.ChunkOps.build(1L, 0, ids, "s",
+        TokenRows.ofArrays(rows), forceCodec = Some(codec.name))
+      val offs = graft.format.Offsets.unpack(c.offsets, c.row_count)
+      val (h1, h2) = HashMatch.chunkRowHashes(c.codec, c.symtab, c.data, offs, c.row_count)
+      rows.indices.foreach { i =>
+        assert(h1(i) == HashMatch.hashTokens1(Array.emptyIntArray, 0, 0), c.codec)
+        assert(h2(i) == HashMatch.hashTokens2(Array.emptyIntArray, 0, 0), c.codec)
+      }
+      // the remaining kernels must agree that nothing matches / counts zero
+      rows.indices.foreach { i =>
+        assert(!SetMatch.evalRow(c.codec, c.symtab, c.data, offs(i), offs(i + 1), Array(1, 2)), c.codec)
+        assert(!RangeMatch.evalRow(c.codec, c.symtab, c.data, offs(i), offs(i + 1), 0, 100), c.codec)
+      }
+      val (cnt, ntok) = SetCountMatch.chunkRowSetCounts(
+        c.codec, c.symtab, c.data, offs, c.row_count, Array(1, 2))
+      assert(cnt.forall(_ == 0L) && ntok.forall(_ == 0L), c.codec)
+      val (ctoks, ccnts) = CountMatch.chunkCounts(c.codec, c.symtab, c.data, offs, c.row_count, 0, 10)
+      assert(ctoks.isEmpty && ccnts.isEmpty, c.codec)
+      val (ba, bb, bc) = CountMatch.chunkBigrams(c.codec, c.symtab, c.data, offs, c.row_count, 0, 10)
+      assert(ba.isEmpty && bb.isEmpty && bc.isEmpty, c.codec)
+      val decoded = graft.format.ChunkOps.decodeAll(c).toIndexedSeq
+      assert(decoded.length == rows.length && decoded.forall(_.tokens.isEmpty), c.codec)
+    }
+  }
+
   test("zipf corpus: planted phrase found exactly (hero %special% analog)") {
     val rnd = new Random(42)
     val hot = Array(1001, 1002, 1003) // "special requests" analog

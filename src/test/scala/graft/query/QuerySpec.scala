@@ -626,6 +626,37 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("compressed-domain remap equals element-wise map per codec; swap pair does not chain") {
+    val a = vocab("dup"); val b = vocab("table")
+    val c1 = vocab("spark"); val c2 = vocab("vector")
+    // {a↔b swap, c1→c2}: element-wise once per token — chaining would send
+    // a→b→a and collapse the swap to the identity, failing the oracle below
+    val want = input.toDF().select(col("doc_id"),
+      transform(col("tokens"), t =>
+        when(t === a, lit(b)).when(t === b, lit(a))
+          .when(t === c1, lit(c2)).otherwise(t)).as("tokens"))
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw", "auto")) {
+      val opts =
+        if (codecName == "auto") EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)
+        else EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))
+      val table = EncodeJob.encode(input, opts).toDF()
+      val remapped = graft.encode.Scrub.remap(table,
+        Map(a -> b, b -> a, c1 -> c2)).toDF()
+      val got = EncodeJob.decodeDf(remapped).select(col("doc_id"), col("tokens"))
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: remapped decode differs from element-wise map")
+      // c1 maps away and nothing maps onto it → the read-side scan finds none
+      assert(Graft.scanSet(remapped, Seq(c1)).isEmpty,
+        s"$codecName: remapped-away token survives")
+      // identity mapping → every chunk passes through byte-identical
+      val untouched = graft.encode.Scrub.remap(table, Map(a -> a, b -> b)).toDF()
+      val lhs = untouched.select("chunk_id", "codec", "crc")
+      val rhs = table.select("chunk_id", "codec", "crc")
+      assert(lhs.except(rhs).isEmpty && rhs.except(lhs).isEmpty,
+        s"$codecName: identity remap did not pass through byte-identical")
+    }
+  }
+
   test("compressed-domain truncate equals decoded-domain take per codec; pass-through byte-identical") {
     val L = 40
     val want = input.toDF().select(col("doc_id"),

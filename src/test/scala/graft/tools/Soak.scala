@@ -346,6 +346,41 @@ object Soak {
         }, 2000)
     }
 
+    // compressed-domain remap: decode(remap(chunk)) must be the element-wise
+    // once-per-token key→val map — vals are drawn from the SAME range as
+    // keys, so chained rewrites (k1→v1 where v1 is itself a key) would
+    // diverge from the oracle and fail
+    val genPairs: Gen[List[(Int, Int)]] =
+      Gen.listOfN(6, Gen.zip(Gen.choose(-5, 55), Gen.choose(-5, 55)))
+    for (codec <- Codecs.all) {
+      check(s"remap-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks), genPairs) { (rowsL, pairsL) =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val pairs = pairsL.toMap.toArray
+              .filter { case (k, v) => k != v }.sortBy(_._1)
+            val keys = pairs.map(_._1)
+            val vals = pairs.map(_._2)
+            val ids = rows.indices.map(i => s"d$i").toArray
+            val c = graft.format.ChunkOps.build(1L, 0, ids, "s",
+              TokenRows.ofArrays(rows), forceCodec = Some(codec.name))
+            val rc = graft.encode.Scrub.remapChunk(c, keys, vals)
+            val want = rows.map(_.map { v =>
+              val i = java.util.Arrays.binarySearch(keys, v)
+              if (i >= 0) vals(i) else v
+            })
+            val decoded = graft.format.ChunkOps.decodeAll(rc).toIndexedSeq
+            decoded.length == rows.length &&
+              decoded.indices.forall(i => decoded(i).doc_id == ids(i) &&
+                java.util.Arrays.equals(decoded(i).tokens, want(i)))
+          }
+        }, 2000)
+    }
+
     // compressed-domain truncation: decode(truncate(chunk, L)) must equal the
     // per-row head take, every row of the rewritten chunk must be
     // byte-identical to a fresh canonical encode under the (possibly
