@@ -146,6 +146,26 @@ object OracleSql {
        |FROM __m GROUP BY doc_id""".stripMargin
   }
 
+  /** Compressed-domain deletion as dedup MATERIALIZATION (encode.Delete
+    * semantics): exact-duplicate losers (every doc whose text group has a
+    * smaller doc_id) are deleted from the encoded table; the fingerprint
+    * runs over the SURVIVORS — identical shape to scrubDecodeSql so a row
+    * deleted too many/few times, or a mis-spliced surviving row, fails.
+    * The mod-7 takedown slice mirrors the Spark side's deterministic
+    * deletion (exact dups alone are absent at small scale factors).
+    */
+  def deleteDecodeSql: String =
+    s"""WITH $tokenizeCtes,
+       |__keep AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+       |    FROM documents)
+       |  WHERE doc_id = rep AND doc_id % 7 <> 0)
+       |SELECT CAST(t.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  CAST(sum(tok) AS BIGINT) AS tok_sum,
+       |  CAST(sum(CAST(tok AS BIGINT) * i) AS BIGINT) AS pos_sum
+       |FROM __tok t JOIN __keep k USING (doc_id) GROUP BY t.doc_id""".stripMargin
+
   /** Compressed-domain truncation (encode.Truncate semantics): every
     * document keeps its first `maxLen` tokens; fingerprint identical to
     * scrubDecodeSql (count, sum, position-weighted sum) so a mis-cut or a

@@ -438,6 +438,37 @@ object Queries {
         "acc -> acc.s)").as("pos_sum"))
   }
 
+  /** Compressed-domain dedup MATERIALIZATION (encode.Delete): the exact-dup
+    * loser set — computed over the ENCODED table via content hashes
+    * (Graft.contentHashes), rep = min numeric doc id per group — is DELETED
+    * from the encoded chunk table without decoding: kept rows byte-splice
+    * (dict re-normalizes if entries strand), emptied chunks drop, untouched
+    * chunks pass through byte-identical. The survivors decode and
+    * fingerprint exactly like q_scrub_decode; DuckDB keeps min(doc_id) per
+    * text group. End to end this is the full dedup story at 100 TB: find
+    * losers compressed, APPLY the verdict compressed. A deterministic
+    * takedown slice (doc_id ≡ 0 mod 7) unions in so the query exercises
+    * real row splices even at scale factors whose corpus has no exact
+    * duplicates (sf0.01 has none — losers alone would only cover the
+    * byte-identical pass-through path).
+    */
+  def deleteDecode(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = autoChunks(spark, dir)
+    val h = Graft.contentHashes(chunks).withColumn("did", col("doc_id").cast("bigint"))
+    val reps = h.groupBy(col("h1"), col("h2")).agg(min(col("did")).as("rep"))
+    val losers = h.join(reps, Seq("h1", "h2"))
+      .filter(col("did") =!= col("rep") || col("did") % 7 === 0)
+      .select(col("doc_id"))
+    val kept = graft.encode.Delete.delete(chunks, losers).toDF()
+    EncodeJob.decodeDf(kept).select(
+      col("doc_id").cast("bigint").as("doc_id"),
+      col("n_tok").cast("bigint").as("n_tok"),
+      expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("tok_sum"),
+      expr("aggregate(tokens, named_struct('s', 0L, 'i', 1L), " +
+        "(acc, x) -> named_struct('s', acc.s + CAST(x AS BIGINT) * acc.i, 'i', acc.i + 1L), " +
+        "acc -> acc.s)").as("pos_sum"))
+  }
+
   /** Compressed-domain sequence TRUNCATION (encode.Truncate): every document
     * is capped at 48 tokens directly over the encoded chunk table — the
     * max-seq-len cutoff of a training pipeline. Rows at or under the cap
@@ -646,6 +677,7 @@ object Queries {
     "q_remap_decode" ->
       OracleSql.remapDecodeSql(
         Seq("dup" -> "table", "table" -> "dup", "spark" -> "vector")),
+    "q_delete_decode" -> OracleSql.deleteDecodeSql,
     "q_truncate_decode" -> OracleSql.truncateDecodeSql(48),
     "q_head_decode" -> OracleSql.headDecodeSql(16),
     "q_tail_decode" -> OracleSql.tailDecodeSql(12),
@@ -687,6 +719,7 @@ object Queries {
     "q_repetition_encoded" -> (repetitionScoresEncoded _),
     "q_scrub_decode" -> (scrubDecode _),
     "q_remap_decode" -> (remapDecode _),
+    "q_delete_decode" -> (deleteDecode _),
     "q_truncate_decode" -> (truncateDecode _),
     "q_head_decode" -> (headDecode _),
     "q_tail_decode" -> (tailDecode _),

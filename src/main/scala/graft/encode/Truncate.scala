@@ -355,7 +355,18 @@ object Truncate {
 
   /** Exact stats + escape census + crc for a rewritten chunk. */
   private def finish(c: EncodedChunk, header: Array[Byte], data: Array[Byte],
-                     ends: Array[Int]): EncodedChunk = {
+                     ends: Array[Int]): EncodedChunk =
+    finishRows(c, header, data, ends, c.doc_ids, c.first_doc_id)
+
+  /** Shared rewrite epilogue ([[Truncate]], [[Delete]]): exact stats +
+    * escape census via [[ChunkWalker]], fresh crc, with the row population
+    * (and so the id slab / row count) possibly changed — `ends.length` is
+    * the new row count.
+    */
+  private[encode] def finishRows(c: EncodedChunk, header: Array[Byte], data: Array[Byte],
+                                 ends: Array[Int], idsPacked: Array[Byte],
+                                 firstDocId: String): EncodedChunk = {
+    val rowCount = ends.length
     val offs = new Array[Int](ends.length + 1)
     System.arraycopy(ends, 0, offs, 1, ends.length)
     val acc = new Scrub.StatsAcc
@@ -366,21 +377,24 @@ object Truncate {
       override def feedRun(t: Int, r: Int): Unit = acc.run(t, r)
       def rowEnd(row: Int): Unit = acc.endRow()
     }
-    ChunkWalker.walk(c.codec, header, data, offs, c.row_count, sink)
+    ChunkWalker.walk(c.codec, header, data, offs, rowCount, sink)
     val (escCnt, escBloom) =
-      if (c.codec == FsstTokenCodec.name) fsstEscapeStats(data, offs, c.row_count)
+      if (c.codec == FsstTokenCodec.name) fsstEscapeStats(data, offs, rowCount)
       else (0L, acc.bloom)
     val offsets = Offsets.pack(ends)
     c.copy(
       symtab = header,
       data = data,
       offsets = offsets,
+      row_count = rowCount,
       n_tokens = total,
+      first_doc_id = firstDocId,
+      doc_ids = idsPacked,
       stats = ChunkStatsRow(acc.distinct,
         if (acc.minTok == Int.MaxValue) 0 else acc.minTok,
         if (acc.maxTok == Int.MinValue) 0 else acc.maxTok,
         acc.maxRun, escCnt, acc.bloom, escBloom),
-      crc = ChunkOps.chunkCrc(data, header, offsets, c.doc_ids))
+      crc = ChunkOps.chunkCrc(data, header, offsets, idsPacked))
   }
 
   /** Escape census over an FSST chunk's code stream: count + bloom of tokens

@@ -373,6 +373,21 @@ object PlanAudit {
         s"truncate must be shuffle-free (per-chunk map):\n$trp")
       println("truncate: typed per-chunk map, zero exchanges")
     }
+    println("=== [17] round-5 deletion: hit scan reads the id plane only, no nested loops ===")
+    locally {
+      val doomed = spark.range(0, 50)
+        .select((col("id") * 3).cast("string").as("doc_id"))
+      val del = graft.encode.Delete.delete(chunks, doomed).toDF()
+      val p = del.queryExecution.executedPlan.toString
+      // the hit derivation's chunk-table scan must be pruned to the id
+      // plane: chunk_id + row_count + doc_ids, never the data blob
+      require(p.linesIterator.exists(l => l.contains("ReadSchema") &&
+        l.contains("doc_ids") && !l.contains("data:")),
+        s"delete hit scan must read the id plane only:\n$p")
+      require(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"delete must join on keys only:\n$p")
+      println("delete: id-plane-only hit scan (ReadSchema pruned), key joins only")
+    }
     spark.stop()
   }
 

@@ -657,6 +657,39 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("compressed-domain delete equals decoded-domain filter per codec; empty/no-hit sets pass byte-identical") {
+    val spark0 = spark
+    import spark0.implicits._
+    // delete every third document (deterministic, spans all chunks/sources)
+    val doomed = input.toDF().select(col("doc_id"))
+      .filter(col("doc_id").cast("bigint") % 3 === 0)
+    val want = input.toDF()
+      .filter(col("doc_id").cast("bigint") % 3 =!= 0)
+      .select(col("doc_id"), col("tokens"))
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw", "auto")) {
+      val opts =
+        if (codecName == "auto") EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)
+        else EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))
+      val table = EncodeJob.encode(input, opts).toDF()
+      val kept = graft.encode.Delete.delete(table, doomed).toDF()
+      val got = EncodeJob.decodeDf(kept).select(col("doc_id"), col("tokens"))
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: post-delete decode differs from decoded-domain filter")
+      // no-hit delete set → every chunk passes through byte-identical
+      val ghost = Seq("no-such-doc-1", "no-such-doc-2").toDF("doc_id")
+      val untouched = graft.encode.Delete.delete(table, ghost).toDF()
+      val lhs = untouched.select("chunk_id", "codec", "crc")
+      val rhs = table.select("chunk_id", "codec", "crc")
+      assert(lhs.except(rhs).isEmpty && rhs.except(lhs).isEmpty,
+        s"$codecName: no-hit delete did not pass chunks through byte-identical")
+    }
+    // deleting EVERY document empties the table (chunks drop, not zero-row husks)
+    val all = input.toDF().select(col("doc_id"))
+    val auto = EncodeJob.encode(input, EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)).toDF()
+    assert(graft.encode.Delete.delete(auto, all).count() == 0L,
+      "deleting all documents should drop every chunk")
+  }
+
   test("compressed-domain truncate equals decoded-domain take per codec; pass-through byte-identical") {
     val L = 40
     val want = input.toDF().select(col("doc_id"),

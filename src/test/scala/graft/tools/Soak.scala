@@ -422,6 +422,52 @@ object Soak {
         }, 2000)
     }
 
+    // compressed-domain deletion: decode(delete(chunk, drop)) must equal the
+    // kept-row subset with ids intact, every kept row must stay byte-
+    // identical to a fresh canonical encode under the (possibly
+    // re-normalized) header — exercising the dict stranded-entry
+    // re-normalize — an all-row drop must return None, and an empty drop
+    // must return the chunk object unchanged
+    for (codec <- Codecs.all) {
+      check(s"delete-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks),
+          Gen.listOfN(15, Gen.choose(0, 3))) { (rowsL, pick) =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val ids = rows.indices.map(i => s"d$i").toArray
+            val c = graft.format.ChunkOps.build(1L, 0, ids, "s",
+              TokenRows.ofArrays(rows), forceCodec = Some(codec.name))
+            val drop = rows.indices.filter(i => pick(i) == 0).toArray
+            val keep = rows.indices.filterNot(i => pick(i) == 0)
+            graft.encode.Delete.deleteChunk(c, drop) match {
+              case None => keep.isEmpty
+              case Some(dc) =>
+                val decoded = graft.format.ChunkOps.decodeAll(dc).toIndexedSeq
+                val roundTrip = decoded.length == keep.length &&
+                  keep.indices.forall(k => decoded(k).doc_id == ids(keep(k)) &&
+                    java.util.Arrays.equals(decoded(k).tokens, rows(keep(k))))
+                val enc = Codecs.byName(dc.codec).encoder(dc.symtab)
+                val offs = graft.format.Offsets.unpack(dc.offsets, dc.row_count)
+                val canonical = keep.indices.forall { k =>
+                  val w = new ByteWriter()
+                  enc.encode(rows(keep(k)), w)
+                  val b = w.toBytes
+                  b.length == offs(k + 1) - offs(k) &&
+                    b.indices.forall(j => b(j) == dc.data(offs(k) + j))
+                }
+                val passThrough =
+                  graft.encode.Delete.deleteChunk(c, Array.emptyIntArray).get eq c
+                val totalsOk = dc.n_tokens == keep.map(rows(_).length.toLong).sum
+                roundTrip && canonical && passThrough && totalsOk
+            }
+          }
+        }, 2000)
+    }
+
     // read-side head projection: partial decode of the first k tokens must
     // equal full-decode + take for every codec, on the same encoded bytes
     for (codec <- Codecs.all) {
