@@ -180,6 +180,19 @@ object OracleSql {
        |  CAST(sum(CAST(tok AS BIGINT) * i) AS BIGINT) AS pos_sum
        |FROM __tok WHERE i <= $maxLen GROUP BY doc_id""".stripMargin
 
+  /** Compressed-domain sentinel injection (encode.Affix semantics): every
+    * document gains a BOS at position 1 and an EOS at position n+2; the
+    * fingerprint (count, sum, position-weighted sum) pins both sentinel
+    * values and positions — original token j shifts from position j to j+1.
+    */
+  def affixDecodeSql(bos: Int, eos: Int): String =
+    s"""WITH $tokenizeCtes
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(count(*) + 2 AS BIGINT) AS n_tok,
+       |  CAST(sum(tok) + $bos + $eos AS BIGINT) AS tok_sum,
+       |  CAST($bos + sum(CAST(tok AS BIGINT) * (i + 1)) + $eos * (count(*) + 2) AS BIGINT) AS pos_sum
+       |FROM __tok GROUP BY doc_id""".stripMargin
+
   /** Read-side head projection (DecodeHead semantics): per-document sum and
     * count over the first `k` tokens only.
     */
@@ -201,6 +214,23 @@ object OracleSql {
        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
        |  CAST(sum(CASE WHEN n.n >= $k AND t.i > n.n - $k THEN t.tok ELSE 0 END) AS BIGINT) AS tail_sum,
        |  CAST(sum(CASE WHEN n.n >= $k AND t.i > n.n - $k THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+       |FROM __tok t JOIN __n n USING (doc_id) GROUP BY t.doc_id""".stripMargin
+
+  /** Read-side mid-window projection (DecodeSlice semantics): per-document
+    * sum and count over `slice(tokens, s, k)` for a positive mid start AND a
+    * negative non-tail start (`slice(tokens, -s2, k2)` with k2 < s2) — exact
+    * builtin semantics: the positive window is 1-based [s, s+k−1] clipped at
+    * the row end; the negative window covers 1-based [n−s2+1, n−s2+k2] and is
+    * EMPTY for documents shorter than s2.
+    */
+  def sliceDecodeSql(s: Int, k: Int, s2: Int, k2: Int): String =
+    s"""WITH $tokenizeCtes,
+       |__n AS (SELECT doc_id, count(*) AS n FROM __tok GROUP BY doc_id)
+       |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       |  CAST(sum(CASE WHEN t.i >= $s AND t.i < $s + $k THEN t.tok ELSE 0 END) AS BIGINT) AS mid_sum,
+       |  CAST(sum(CASE WHEN t.i >= $s AND t.i < $s + $k THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+       |  CAST(sum(CASE WHEN n.n >= $s2 AND t.i > n.n - $s2 AND t.i <= n.n - $s2 + $k2 THEN t.tok ELSE 0 END) AS BIGINT) AS win_sum,
+       |  CAST(sum(CASE WHEN n.n >= $s2 AND t.i > n.n - $s2 AND t.i <= n.n - $s2 + $k2 THEN 1 ELSE 0 END) AS BIGINT) AS n_win
        |FROM __tok t JOIN __n n USING (doc_id) GROUP BY t.doc_id""".stripMargin
 
   /** SimHash near-dup pairs (Dedup.simhashPairs semantics): unigram

@@ -156,6 +156,21 @@ object Queries {
         col("n_tok").cast("long").as("n_tok"), col("n_in_set"))
   }
 
+  /** FIRST POSITION of a target token over the ENCODED table: per-document
+    * (n_tok, first_pos) with first_pos the 1-based position of the first
+    * occurrence of the 'dup' token (0 when absent) — `array_position` off
+    * compressed storage; the split-point discovery primitive (first EOS /
+    * separator) for segmentation and truncate-at-sentinel pipelines. Chunks
+    * whose zone map + bloom exclude the target emit rows at metadata cost.
+    */
+  def firstTokenPos(spark: SparkSession, dir: String): DataFrame = {
+    val v = vocab(spark, dir)
+    Graft.firstPosEncoded(autoChunks(spark, dir), v("dup"))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_tok").cast("long").as("n_tok"),
+        col("first_pos").cast("long").as("first_pos"))
+  }
+
   /** Token-domain quality profile over the ENCODED table: per-document
     * exact (n_tok, n_distinct, max_run, top_cnt) — the distinct ratio,
     * degenerate-repeat, and one-token-dominates signals of a C4/Gopher-style
@@ -489,6 +504,26 @@ object Queries {
         "acc -> acc.s)").as("pos_sum"))
   }
 
+  /** Compressed-domain SENTINEL INJECTION (encode.Affix): BOS/EOS special
+    * tokens (fresh out-of-vocabulary ids, the standard tokenizer convention)
+    * attach to every document directly over the encoded chunk table — FSST
+    * chunks splice bytes (escape + memcpy + escape, zero decode/re-encode),
+    * dict chunks insert the sentinels into the sorted dictionary, packed
+    * codecs widen. The fingerprint decodes the affixed table: count, sum,
+    * position-weighted sum pin both sentinel VALUES and POSITIONS.
+    */
+  def affixDecode(spark: SparkSession, dir: String): DataFrame = {
+    val affixed = graft.encode.Affix.affix(autoChunks(spark, dir),
+      Some(1000003), Some(1000001)).toDF()
+    EncodeJob.decodeDf(affixed).select(
+      col("doc_id").cast("bigint").as("doc_id"),
+      col("n_tok").cast("bigint").as("n_tok"),
+      expr("aggregate(tokens, 0L, (a, x) -> a + x)").as("tok_sum"),
+      expr("aggregate(tokens, named_struct('s', 0L, 'i', 1L), " +
+        "(acc, x) -> named_struct('s', acc.s + CAST(x AS BIGINT) * acc.i, 'i', acc.i + 1L), " +
+        "acc -> acc.s)").as("pos_sum"))
+  }
+
   /** Read-side HEAD projection: `slice(tokens, 1, 16)` on the encoded view
     * rewrites (PushPatternIntoCompressed) into `decode_head`, a partial
     * decode that materializes only each row's first 16 tokens — O(k) per
@@ -517,6 +552,23 @@ object Queries {
       expr("aggregate(slice(tokens, -12, 12), 0L, (a, x) -> a + x)").as("tail_sum"),
       when(size(col("tokens")) >= 12, lit(12)).otherwise(lit(0))
         .cast("long").as("n_tail"))
+
+  /** Read-side MID-WINDOW projection: `slice(tokens, 8, 12)` and a negative
+    * non-tail window `slice(tokens, -30, 10)` on the encoded view rewrite
+    * into `decode_slice`, which decodes O(skip + k) tokens per row (packed
+    * codecs random-access the bit stream at the window start; FSST skips via
+    * code lengths without expanding symbols) — fixed-stride model-input
+    * windows over a compressed corpus pay the window, not the document.
+    * Builtin slice semantics preserved exactly: the mid window clips at the
+    * row end and the negative window is EMPTY for rows shorter than 30.
+    */
+  def sliceDecode(spark: SparkSession, dir: String): DataFrame =
+    Graft.encodedRows(autoChunks(spark, dir)).select(
+      col("doc_id").cast("bigint").as("doc_id"),
+      expr("aggregate(slice(tokens, 8, 12), 0L, (a, x) -> a + x)").as("mid_sum"),
+      size(expr("slice(tokens, 8, 12)")).cast("long").as("n_mid"),
+      expr("aggregate(slice(tokens, -30, 10), 0L, (a, x) -> a + x)").as("win_sum"),
+      size(expr("slice(tokens, -30, 10)")).cast("long").as("n_win"))
 
   /** Late-materialized SAMPLING: the deterministic mixture-sampling
     * predicate (splitmix64(doc_id) mod 100 vs per-source rate) filters the
@@ -619,6 +671,14 @@ object Queries {
       s"""SELECT doc_id FROM documents
          | WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
          |           x -> x <> '')) BETWEEN 60 AND 80""".stripMargin,
+    "q_first_token_pos" ->
+      s"""WITH __w AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                             x -> x <> '') AS w
+         |  FROM documents)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(list_position(w, 'dup'), 0) AS BIGINT) AS first_pos
+         |FROM __w WHERE len(w) > 0""".stripMargin,
     "q_blocklist_counts" ->
       s"""SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tok,
          |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -681,6 +741,8 @@ object Queries {
     "q_truncate_decode" -> OracleSql.truncateDecodeSql(48),
     "q_head_decode" -> OracleSql.headDecodeSql(16),
     "q_tail_decode" -> OracleSql.tailDecodeSql(12),
+    "q_slice_decode" -> OracleSql.sliceDecodeSql(8, 12, 30, 10),
+    "q_affix_decode" -> OracleSql.affixDecodeSql(1000003, 1000001),
     "q_compact_roundtrip" ->
       s"SELECT doc_id, CAST($ntokSql AS BIGINT) AS n_tok FROM documents",
     "q_sample_decode_encoded" ->
@@ -712,6 +774,7 @@ object Queries {
     "q_range_tokens" -> (rangeTokens _),
     "q_blocklist_tokens" -> (blocklistTokens _),
     "q_blocklist_counts" -> (blocklistCounts _),
+    "q_first_token_pos" -> (firstTokenPos _),
     "q_quality_encoded" -> (qualityEncodedProfile _),
     "q_length_filter" -> (lengthFilter _),
     "q_length_pct_encoded" -> (lengthPercentilesEncoded _),
@@ -723,6 +786,8 @@ object Queries {
     "q_truncate_decode" -> (truncateDecode _),
     "q_head_decode" -> (headDecode _),
     "q_tail_decode" -> (tailDecode _),
+    "q_slice_decode" -> (sliceDecode _),
+    "q_affix_decode" -> (affixDecode _),
     "q_compact_roundtrip" -> (compactRoundtrip _),
     "q_sample_decode_encoded" -> (sampleDecodeEncoded _),
     "q_dedup_exact_encoded" -> (dedupExactEncoded _),

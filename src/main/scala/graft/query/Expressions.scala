@@ -166,6 +166,48 @@ case class DecodeTail(enc: Expression, header: Expression, codecName: Expression
     copy(enc = f, header = s, codecName = t)
 }
 
+/** Partial decode of an arbitrary mid window (read-side slice projection):
+  * the pushdown rule rewrites `slice(decode_row(…), s, k)` for ANY nonzero
+  * literal start into this — exact builtin semantics (negative start from
+  * the end, out-of-range start → empty, window clipped at the row end).
+  * Generalizes DecodeHead/DecodeTail: fixed-stride model-input windows on
+  * the encoded view decode O(skip + k) per row, never the whole row.
+  */
+case class DecodeSlice(enc: Expression, header: Expression, codecName: Expression,
+                       s: Int, k: Int) extends TernaryExpression {
+  require(s != 0, "slice start must be nonzero (builtin Slice semantics)")
+  require(k >= 0, "slice length must be non-negative")
+  override def first: Expression = enc
+  override def second: Expression = header
+  override def third: Expression = codecName
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = enc.nullable || header.nullable || codecName.nullable
+  override def prettyName: String = "decode_slice"
+
+  @transient private lazy val decoders =
+    scala.collection.concurrent.TrieMap.empty[String, HeaderCache[SliceRowDecoder]]
+
+  def decodeOne(e: Array[Byte], h: Array[Byte], c: UTF8String): ArrayData = {
+    val codec = c.toString
+    val dec = decoders.getOrElseUpdate(codec,
+      new HeaderCache[SliceRowDecoder](hh => SliceDecode.decoder(codec, hh))).get(h)
+    UnsafeArrayData.fromPrimitiveArray(dec.decodeSlice(e, 0, e.length, s, k))
+  }
+
+  override protected def nullSafeEval(e: Any, h: Any, c: Any): Any =
+    decodeOne(e.asInstanceOf[Array[Byte]], h.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("decodeSlice", this, classOf[DecodeSlice].getName)
+    nullSafeCodeGen(ctx, ev, (e, h, c) => s"${ev.value} = $ref.decodeOne($e, $h, $c);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s2: Expression, t: Expression) =
+    copy(enc = f, header = s2, codecName = t)
+}
+
 /** Token-domain pattern predicate on a decoded/raw array<int> column. The
   * logical marker the pushdown rule looks for; also the fallback physical
   * path (decode-then-match, the reference's StdEngine baseline,
@@ -1383,6 +1425,68 @@ case class SetCountsGenerator(docIds: Expression, data: Expression,
         p += len
         val out = new GenericInternalRow(Array[Any](id, nToks(i),
           if (counts == null) 0L else counts(i)))
+        i += 1
+        out
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+    copy(docIds = cs(0), data = cs(1), offsets = cs(2), rowCount = cs(3),
+      symtab = cs(4), codec = cs(5), minTok = cs(6), maxTok = cs(7), bloom = cs(8))
+}
+
+/** token_pos(doc_ids, data, offsets, row_count, symtab, codec, min_tok,
+  * max_tok, bloom) — lazy generator emitting one (doc_id, n_tok, first_pos)
+  * row per encoded document, where first_pos is the 1-based position of the
+  * first occurrence of the target token (0 when absent) — the
+  * `array_position` / split-point-discovery primitive (first EOS, separator,
+  * special token) off compressed storage (core/PosMatch). The zone-map +
+  * bloom gate mirrors SetCountsGenerator with a single-token set: a chunk
+  * that cannot contain the target emits its rows at METADATA cost with
+  * first_pos = 0, never touching the data plane.
+  */
+case class TokenPosGenerator(docIds: Expression, data: Expression,
+    offsets: Expression, rowCount: Expression, symtab: Expression, codec: Expression,
+    minTok: Expression, maxTok: Expression, bloom: Expression, target: Int)
+    extends Expression with Generator with CodegenFallback {
+  private val sorted: Array[Int] = SetMatch.sortedSet(Array(target))
+  override def children: Seq[Expression] =
+    Seq(docIds, data, offsets, rowCount, symtab, codec, minTok, maxTok, bloom)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("first_pos", IntegerType, nullable = false)))
+  override def prettyName: String = "token_pos"
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val ids = docIds.eval(input).asInstanceOf[Array[Byte]]
+    val bytes = data.eval(input).asInstanceOf[Array[Byte]]
+    val rows = rowCount.eval(input).asInstanceOf[Int]
+    if (rows == 0) return Iterator.empty
+    val offs = Offsets.unpack(offsets.eval(input).asInstanceOf[Array[Byte]], rows)
+    val gated = !SetMatch.chunkOverlaps(sorted,
+        minTok.eval(input).asInstanceOf[Int], maxTok.eval(input).asInstanceOf[Int]) ||
+      !SetMatch.chunkMayContainAny(bloom.eval(input).asInstanceOf[Array[Byte]], sorted)
+    val (poss, nToks) =
+      if (gated) (null: Array[Int], SetCountMatch.rowTokenCounts(bytes, offs, rows))
+      else {
+        val header = symtab.eval(input).asInstanceOf[Array[Byte]]
+        val codecName = codec.eval(input).asInstanceOf[UTF8String].toString
+        PosMatch.chunkFirstPositions(codecName, header, bytes, offs, rows, target)
+      }
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var p = 0 // cursor into the packed id slab (varint len + bytes)
+      def hasNext: Boolean = i < rows
+      def next(): InternalRow = {
+        var len = 0; var shift = 0; var b = 0
+        do {
+          b = ids(p) & 0xff; p += 1
+          len |= (b & 0x7f) << shift; shift += 7
+        } while ((b & 0x80) != 0)
+        val id = UTF8String.fromBytes(ids, p, len)
+        p += len
+        val out = new GenericInternalRow(Array[Any](id, nToks(i),
+          if (poss == null) 0 else poss(i)))
         i += 1
         out
       }

@@ -46,6 +46,13 @@ object PushPatternIntoCompressed extends Rule[LogicalPlan] {
         org.apache.spark.sql.catalyst.expressions.IntegerLiteral(s),
         org.apache.spark.sql.catalyst.expressions.IntegerLiteral(k)) if s < 0 && k == -s =>
       DecodeTail(enc, header, codec, k)
+    // general mid-window pushdown: slice(tokens, s, k) for any other nonzero
+    // literal start decodes O(skip + k) per row (s == 0 / k < 0 raise in the
+    // builtin at runtime — leave those to it)
+    case org.apache.spark.sql.catalyst.expressions.Slice(DecodeRow(enc, header, codec),
+        org.apache.spark.sql.catalyst.expressions.IntegerLiteral(s),
+        org.apache.spark.sql.catalyst.expressions.IntegerLiteral(k)) if s != 0 && k >= 0 =>
+      DecodeSlice(enc, header, codec, s, k)
   }
 
   /** The expression cases above need `decode_row` as the DIRECT child, which
@@ -86,6 +93,10 @@ object PushPatternIntoCompressed extends Rule[LogicalPlan] {
               if s < 0 && k == -s && decodeAliases.contains(ar.exprId) =>
             val d = bind(ar)
             DecodeTail(d.enc, d.header, d.codecName, k)
+          case Slice(ar: AttributeReference, IntegerLiteral(s), IntegerLiteral(k))
+              if s != 0 && k >= 0 && decodeAliases.contains(ar.exprId) =>
+            val d = bind(ar)
+            DecodeSlice(d.enc, d.header, d.codecName, s, k)
           case Size(ar: AttributeReference, _) if decodeAliases.contains(ar.exprId) =>
             RowTokenCount(bind(ar).enc)
         }.asInstanceOf[NamedExpression])
@@ -175,6 +186,8 @@ object Graft {
       es => DecodeHead(es(0), es(1), es(2), litInt(es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("decode_tail",
       es => DecodeTail(es(0), es(1), es(2), litInt(es(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("decode_slice",
+      es => DecodeSlice(es(0), es(1), es(2), litInt(es(3)), litInt(es(4))), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => graft.pipeline.CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
@@ -537,6 +550,23 @@ object Graft {
         col2expr(col("symtab")), col2expr(col("codec")),
         col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok")),
         col2expr(col("stats.symbol_bitmap")), set)))
+
+  /** Per-document FIRST POSITION of a target token over the encoded table:
+    * (doc_id, n_tok, first_pos) with first_pos the 1-based position of the
+    * first occurrence (0 when absent) — `array_position` off compressed
+    * storage; the split-point discovery primitive (first EOS / separator /
+    * special token) for segmentation and truncate-at-sentinel pipelines.
+    * Chunks whose zone map + bloom exclude the target emit their rows at
+    * metadata cost with first_pos = 0 and never touch the data plane — a
+    * rare sentinel prices the 100-TB pass near the id-slab scan.
+    */
+  def firstPosEncoded(chunks: DataFrame, target: Int): DataFrame =
+    chunks.select(
+      mkCol(TokenPosGenerator(col2expr(col("doc_ids")), col2expr(col("data")),
+        col2expr(col("offsets")), col2expr(col("row_count")),
+        col2expr(col("symtab")), col2expr(col("codec")),
+        col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok")),
+        col2expr(col("stats.symbol_bitmap")), target)))
 
   /** Per-document token-quality profile over the encoded table: (doc_id,
     * source, n_tok, n_distinct, max_run, top_cnt) — exact distinct-token

@@ -373,6 +373,22 @@ object PlanAudit {
         s"truncate must be shuffle-free (per-chunk map):\n$trp")
       println("truncate: typed per-chunk map, zero exchanges")
     }
+    println("=== [16b] mid-window slice: q_slice_decode shape pushes through the shared alias ===")
+    locally {
+      // the driver query's shape: two different windows, each used by an
+      // aggregate() AND a size() — four uses of the shared decode alias; the
+      // Project-over-Project case must rewrite every slice to decode_slice
+      // and prune the orphaned decode_row
+      val q = Graft.encodedRows(chunks).select(col("doc_id"),
+        expr("aggregate(slice(tokens, 8, 12), 0L, (a, x) -> a + x)").as("mid_sum"),
+        size(expr("slice(tokens, 8, 12)")).as("n_mid"),
+        expr("aggregate(slice(tokens, -30, 10), 0L, (a, x) -> a + x)").as("win_sum"),
+        size(expr("slice(tokens, -30, 10)")).as("n_win"))
+      val p = q.queryExecution.optimizedPlan.toString
+      require(p.contains("decode_slice") && !p.contains("decode_row"),
+        s"mid-window slices over one shared alias must all push; no decode_row:\n$p")
+      println("projection: decode_slice ×4 through the shared alias, decode_row pruned")
+    }
     println("=== [17] round-5 deletion: hit scan reads the id plane only, no nested loops ===")
     locally {
       val doomed = spark.range(0, 50)

@@ -288,6 +288,26 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("first token position: per-codec compressed-domain equals array_position") {
+    import org.apache.spark.sql.functions.expr
+    val ids = vocab.values.toSeq.sorted
+    // common token, rare-ish token, and fully out-of-vocab (gate-skip path:
+    // every row must still surface with first_pos = 0 and a correct n_tok)
+    val targets = Seq(ids(1), ids(ids.length / 2), ids.last + 9)
+    for (codec <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw")) {
+      val ch = EncodeJob.encode(input,
+        EncodeOptions(numBuckets = 4, maxRowsPerChunk = 64, forceCodec = Some(codec))).toDF()
+      for (t <- targets) {
+        val want = input.toDF().select(col("doc_id"),
+          org.apache.spark.sql.functions.size(col("tokens")).cast("int").as("n_tok"),
+          expr(s"CAST(array_position(tokens, $t) AS INT)").as("first_pos"))
+        val got = Graft.firstPosEncoded(ch, t)
+        assert(want.except(got).isEmpty && got.except(want).isEmpty,
+          s"$codec target=$t: compressed first position differs from array_position")
+      }
+    }
+  }
+
   test("quality profile: per-codec compressed-domain stats equal the decoded oracle") {
     import org.apache.spark.sql.functions.expr
     // decoded-domain oracle built from higher-order functions on the raw
@@ -751,6 +771,77 @@ class QuerySpec extends AnyFunSuite {
          |       decode_tail(enc, symtab, codec, $kt) AS tail FROM __head_view""".stripMargin)
     assert(want.except(viaSql).isEmpty && viaSql.except(want).isEmpty,
       "SQL decode_head/decode_tail differ from the column-API slices")
+  }
+
+  test("sentinel injection: affix rewrites per codec, decode equals bos ++ tokens ++ eos") {
+    import spark.implicits._
+    val ids = vocab.values.toSeq.sorted
+    // out-of-vocab pair (the common special-token case: FSST byte splice,
+    // dict insert, packed widen), in-vocab pair (FSST resync, RLE merge),
+    // bos-only, eos-only
+    val cases = Seq(
+      (Some(1000003), Some(1000001)), (Some(ids(0)), Some(ids(2))),
+      (Some(ids(1)), None), (None, Some(1000001)))
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw", "auto")) {
+      val opts =
+        if (codecName == "auto") EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)
+        else EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))
+      val table = EncodeJob.encode(input, opts).toDF()
+      for ((bos, eos) <- cases) {
+        val affixExpr = (bos, eos) match {
+          case (Some(b), Some(e)) => expr(s"concat(array($b), tokens, array($e))")
+          case (Some(b), None)    => expr(s"concat(array($b), tokens)")
+          case (None, Some(e))    => expr(s"concat(tokens, array($e))")
+          case _                  => col("tokens")
+        }
+        val want = input.toDF().select(col("doc_id"), affixExpr.as("tokens"))
+        val affixed = graft.encode.Affix.affix(table, bos, eos).toDF()
+        val got = EncodeJob.decodeDf(affixed).select(col("doc_id"), col("tokens"))
+        assert(want.except(got).isEmpty && got.except(want).isEmpty,
+          s"$codecName bos=$bos eos=$eos: affixed decode differs from concat")
+      }
+    }
+    // no-op affix returns the chunk object unchanged
+    val one = EncodeJob.encode(input,
+      EncodeOptions(numBuckets = 2, maxRowsPerChunk = 64)).collect().head
+    assert(graft.encode.Affix.affixChunk(one, None, None) eq one)
+  }
+
+  test("mid-window slice on the encoded view partial-decodes per codec with builtin semantics") {
+    // adversarial (start, len) grid: mid window, negative non-tail window,
+    // zero length, starts far past both ends, length clipping at the row end
+    val grid = Seq((8, 12), (-30, 10), (2, 0), (1000, 5), (-1000, 5), (3, 1000), (-5, 3))
+    val sliceCols = grid.zipWithIndex.map { case ((s, k), i) =>
+      expr(s"slice(tokens, $s, $k)").as(s"w$i")
+    }
+    val want = input.toDF().select(col("doc_id") +: sliceCols: _*)
+    for (codecName <- Seq("fsst", "dict", "rle", "for", "bitpack", "raw", "auto")) {
+      val opts =
+        if (codecName == "auto") EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64)
+        else EncodeOptions(numBuckets = 8, maxRowsPerChunk = 64, forceCodec = Some(codecName))
+      val table = EncodeJob.encode(input, opts).toDF()
+      val got = Graft.encodedRows(table).select(col("doc_id") +: sliceCols: _*)
+      assert(want.except(got).isEmpty && got.except(want).isEmpty,
+        s"$codecName: mid-window slice differs from decoded-domain builtin slice")
+    }
+    // the rewrite must fire: decode_slice, no decode_row (and not head/tail,
+    // which own their own specialized windows)
+    val q = Graft.encodedRows(chunks)
+      .select(expr("slice(tokens, 5, 9)"), expr("slice(tokens, -40, 6)"))
+    val optimized = q.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("decode_slice"),
+      s"expected decode_slice in optimized plan:\n$optimized")
+    assert(!optimized.contains("decode_row"),
+      s"decode_row should have been eliminated by the slice rewrite:\n$optimized")
+    // SQL surface: the registered function agrees with the column API
+    Graft.encodedRows(chunks).createOrReplaceTempView("__slice_view")
+    val viaSql = spark.sql(
+      """SELECT doc_id, decode_slice(enc, symtab, codec, 8, 12) AS mid,
+        |       decode_slice(enc, symtab, codec, -30, 10) AS win FROM __slice_view""".stripMargin)
+    val wantSql = input.toDF().select(col("doc_id"),
+      expr("slice(tokens, 8, 12)").as("mid"), expr("slice(tokens, -30, 10)").as("win"))
+    assert(wantSql.except(viaSql).isEmpty && viaSql.except(wantSql).isEmpty,
+      "SQL decode_slice differs from the builtin slice")
   }
 
   test("chunk compaction merges small chunks without decode per codec; idempotent; read-side intact") {

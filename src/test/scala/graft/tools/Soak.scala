@@ -422,6 +422,51 @@ object Soak {
         }, 2000)
     }
 
+    // compressed-domain sentinel injection: decode(affix(chunk)) must equal
+    // bos ++ row ++ eos per row, every row byte-identical to a fresh
+    // canonical encode under the (possibly widened / re-dictionaried)
+    // header — small-domain sentinels exercise the FSST resync-splice proof
+    // (symbols start with / contain them) and the RLE run merges; the large
+    // sentinel exercises the escape fast path, dict insert, and packed widen
+    val genSentinel: Gen[Option[Int]] = Gen.oneOf(
+      Gen.const(None), Gen.choose(0, 6).map(Some(_)),
+      Gen.choose(0, 60).map(Some(_)), Gen.const(Some(1000003)))
+    for (codec <- Codecs.all) {
+      check(s"affix-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks), genSentinel, genSentinel) { (rowsL, bos, eos) =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val ids = rows.indices.map(i => s"d$i").toArray
+            val c = graft.format.ChunkOps.build(1L, 0, ids, "s",
+              TokenRows.ofArrays(rows), forceCodec = Some(codec.name))
+            val ac = graft.encode.Affix.affixChunk(c, bos, eos)
+            if (bos.isEmpty && eos.isEmpty) ac eq c
+            else {
+              val want = rows.map(r => bos.toArray ++ r ++ eos.toArray)
+              val decoded = graft.format.ChunkOps.decodeAll(ac).toIndexedSeq
+              val roundTrip = decoded.length == rows.length &&
+                decoded.indices.forall(i => decoded(i).doc_id == ids(i) &&
+                  java.util.Arrays.equals(decoded(i).tokens, want(i)))
+              val enc = Codecs.byName(ac.codec).encoder(ac.symtab)
+              val offs = graft.format.Offsets.unpack(ac.offsets, ac.row_count)
+              val canonical = rows.indices.forall { i =>
+                val w = new ByteWriter()
+                enc.encode(want(i), w)
+                val b = w.toBytes
+                b.length == offs(i + 1) - offs(i) &&
+                  b.indices.forall(j => b(j) == ac.data(offs(i) + j))
+              }
+              val totalsOk = ac.n_tokens == want.map(_.length.toLong).sum
+              roundTrip && canonical && totalsOk
+            }
+          }
+        }, 2000)
+    }
+
     // compressed-domain deletion: decode(delete(chunk, drop)) must equal the
     // kept-row subset with ids intact, every kept row must stay byte-
     // identical to a fresh canonical encode under the (possibly
@@ -496,6 +541,71 @@ object Soak {
                 hd.decodeHead(data, offs(i), offs(i + 1), k), rows(i).take(k)) &&
                 java.util.Arrays.equals(
                   td.decodeTail(data, offs(i), offs(i + 1), k), wantTail)
+            }
+          }
+        }, 2000)
+    }
+
+    // read-side mid-window projection: decodeSlice against the builtin-slice
+    // model (1-based start, negative start from the end, out-of-range start
+    // → empty, window clipped at the row end) for adversarial (s, k) incl.
+    // starts far past both ends and windows crossing fsst symbol boundaries
+    val genStart = Gen.oneOf(Gen.choose(1, 90), Gen.choose(-90, -1),
+      Gen.const(1), Gen.const(-1), Gen.const(3000), Gen.const(-3000))
+    def sliceModel(row: Array[Int], s: Int, k: Int): Array[Int] = {
+      val n = row.length
+      val lo = if (s > 0) s - 1 else n + s
+      if (lo < 0 || lo >= n || k <= 0) Array.emptyIntArray
+      else java.util.Arrays.copyOfRange(row, lo, lo + math.min(k, n - lo))
+    }
+    for (codec <- Codecs.all) {
+      check(s"slice-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks), genStart, Gen.choose(0, 80)) { (rowsL, s, k) =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible || s == 0) true
+          else {
+            val header = codec.buildHeader(rows, stats)
+            val enc = codec.encoder(header)
+            val out = new ByteWriter()
+            val offs = new Array[Int](rows.length + 1)
+            rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+            val data = out.toBytes
+            val sd = SliceDecode.decoder(codec.name, header)
+            rows.indices.forall { i =>
+              java.util.Arrays.equals(
+                sd.decodeSlice(data, offs(i), offs(i + 1), s, k),
+                sliceModel(rows(i), s, k))
+            }
+          }
+        }, 2000)
+    }
+
+    // compressed-domain first token position: PosMatch against indexOf — the
+    // run-aware sink must report the START of a matching RLE run and 0 for
+    // absent tokens (targets mix in-domain values with misses)
+    val genTarget = Gen.oneOf(Gen.choose(0, 50), Gen.choose(-5, 5),
+      Gen.const(Int.MaxValue), Gen.chooseNum(Int.MinValue, Int.MaxValue))
+    for (codec <- Codecs.all) {
+      check(s"firstpos-vs-oracle-${codec.name}",
+        Prop.forAll(Gen.listOfN(15, genToks), genTarget) { (rowsL, target) =>
+          val rows = rowsL.toIndexedSeq
+          val stats = ChunkStats.compute(rows)
+          val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+            !((codec eq BitPackCodec) && stats.minTok < 0)
+          if (!eligible) true
+          else {
+            val header = codec.buildHeader(rows, stats)
+            val enc = codec.encoder(header)
+            val out = new ByteWriter()
+            val offs = new Array[Int](rows.length + 1)
+            rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+            val (poss, nToks) = PosMatch.chunkFirstPositions(
+              codec.name, header, out.toBytes, offs, rows.length, target)
+            rows.indices.forall { i =>
+              poss(i) == rows(i).indexOf(target) + 1 && nToks(i) == rows(i).length
             }
           }
         }, 2000)
