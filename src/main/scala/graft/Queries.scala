@@ -26,8 +26,9 @@ object Queries {
   private val vocabCache = mutable.HashMap.empty[String, Map[String, Int]]
 
   def vocab(spark: SparkSession, dir: String): Map[String, Int] = synchronized {
-    vocabCache.getOrElseUpdate(dir,
-      Tokenize.vocabulary(spark.read.parquet(s"$dir/documents.parquet")))
+    // documents() already collects the sorted vocabulary for its broadcast
+    // tokenizer — reuse that Map instead of running a second vocab job
+    vocabCache.getOrElseUpdate(dir, Tokenize.documents(spark, dir)._2)
   }
 
   /** Drop cache entries whose session is stopped — Bench cycles a dozen+
@@ -394,12 +395,15 @@ object Queries {
   def compactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val (input, _) = Tokenize.documents(spark, dir)
     val waves = (0 until 4).map { w =>
-      val slice = input.filter((r: graft.format.TokenRow) =>
-        java.lang.Long.remainderUnsigned(
-          graft.pipeline.Hashing.mix64(r.doc_id.hashCode.toLong), 4L) == w.toLong)
+      // column-native wave split (any deterministic 4-way partition of doc
+      // ids produces the intended cross-wave debris; the round-5 typed
+      // closure deserialized every cached row to a TokenRow per wave)
+      val slice = input.filter(pmod(xxhash64(col("doc_id")), lit(4)) === w)
       EncodeJob.encode(slice, EncodeOptions(numBuckets = 8, jobTag = w.toLong)).toDF()
     }
-    val small = waves.reduce(_ unionByName _)
+    // pinned: Compact.compact references its input twice (pass-through +
+    // debris branches) — without this the four encode jobs would run twice
+    val small = waves.reduce(_ unionByName _).localCheckpoint()
     val compacted = graft.encode.Compact.compact(small).toDF()
     val d = EncodeJob.decodeDf(compacted).select(col("doc_id"), col("n_tok"),
       xxhash64(col("tokens")).as("__h"))

@@ -3,6 +3,7 @@ package graft.encode
 import graft.core._
 import graft.format.{ChunkOps, ChunkStatsRow, EncodedChunk, Offsets}
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -49,14 +50,33 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Compact {
 
+  /** NOTE: `chunks` is referenced twice in the returned plan (pass-through
+    * branch + debris branch); callers whose input is not a cheap re-scannable
+    * source (cache / parquet) should pin it first (localCheckpoint).
+    */
   def compact(chunks: DataFrame, targetTokens: Long = 1L << 19,
               maxRows: Int = 65536): Dataset[EncodedChunk] = {
     val spark = chunks.sparkSession
     import spark.implicits._
-    chunks.as[EncodedChunk]
+    // A chunk strictly over either target can never pack with a sibling
+    // (any addition overflows the greedy bound), so compactGroup would emit
+    // it as an untouched singleton — route those around the groupByKey
+    // shuffle entirely and shuffle only sub-target debris (round-5 verdict
+    // #4; guide §2.3: don't move bytes whose placement is already decided).
+    // At-target chunks dominate a maintained table's bytes, so the shuffle
+    // and its per-chunk object (de)serialization now scale with the DEBRIS
+    // fraction, not the table.
+    val atTarget = col("n_tokens") > targetTokens || col("row_count") > maxRows
+    // project to the chunk schema: inputs may carry extra columns (e.g. the
+    // streaming commit id), which the debris branch's encoder drops anyway
+    val chunkCols = org.apache.spark.sql.Encoders.product[EncodedChunk]
+      .schema.fieldNames.toIndexedSeq.map(col)
+    val pass = chunks.filter(atTarget).select(chunkCols: _*)
+    val debris = chunks.filter(!atTarget).as[EncodedChunk]
       .groupByKey(c => (c.part_id, c.source, c.codec))
       .flatMapGroups((_: (Int, String, String), it: Iterator[EncodedChunk]) =>
         compactGroup(it.toIndexedSeq, targetTokens, maxRows).iterator)
+    pass.unionByName(debris.toDF()).as[EncodedChunk]
   }
 
   /** Compact one (part, source, codec) group. Deterministic: members sort by

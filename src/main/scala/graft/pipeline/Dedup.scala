@@ -14,11 +14,21 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import PipelineFunctions._
 
-  /** Exact duplicates: group by token content, keep the min doc_id as the
-    * canonical representative.
+  /** Exact duplicates: group by a 128-bit content key — (xxhash64(tokens),
+    * xxhash64(reverse(tokens))), two independent functions of the full token
+    * sequence — keep the min doc_id as the canonical representative. The
+    * round-5 plan grouped by the token ARRAY itself: with mostly-distinct
+    * documents, map-side partial aggregation reduces nothing and the
+    * exchange carries every token payload (guide §2.3: shuffle keys, not
+    * payloads). Hash grouping shuffles ~24 B/doc at any document length —
+    * the same design as the compressed-domain twin (Graft.dedupExactEncoded,
+    * which shares this query's oracle); a pair collision needs both 64-bit
+    * hashes to collide at once (≈10^-19 per pair).
     */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(col("tokens"))
+    docs.select(col("doc_id"), xxhash64(col("tokens")).as("__h1"),
+        xxhash64(reverse(col("tokens"))).as("__h2"))
+      .groupBy(col("__h1"), col("__h2"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
       .select(col("rep_doc_id"), col("n_dups"))
 
@@ -59,17 +69,26 @@ object Dedup {
     val g = g0.withColumn("n_grams", size(col("grams")))
     val inv0 = g.select(col("doc_id"), col("__bk"), col("n_grams"),
       explode(col("grams")).as("gram"))
-    val inv = maxPostings match {
-      case None => inv0
-      case Some(cap) =>
-        val keep = inv0.groupBy(col("__bk"), col("gram"))
-          .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
-          .select(col("__bk"), col("gram"))
-        inv0.join(keep, Seq("__bk", "gram"))
+    // Per-(block, gram) document frequency in ONE window pass over the
+    // posting table, keyed like the pair join below so the exchange is
+    // planned once and reused by both join sides. df = 1 grams cannot
+    // contribute a pair (a.doc_id < b.doc_id needs two docs) and are
+    // dropped EXACTLY — typically the bulk of the posting table, so the
+    // self-join sorts and joins a fraction of the postings — and the df
+    // cap (maxPostings) rides the same pass instead of the round-5 second
+    // aggregation + keep-join over a recomputed posting table.
+    val wdf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bk"), col("gram"))
+    val capOk = maxPostings match {
+      case Some(cap) => col("__df") <= cap
+      case None => lit(true)
     }
+    val inv = inv0.withColumn("__df", count(lit(1)).over(wdf))
+      .filter(col("__df") >= 2 && capOk)
+      .select(col("doc_id"), col("__bk"), col("n_grams"), col("gram"))
     val a = inv.alias("a")
     val b = inv.alias("b")
-    a.join(b, col("a.gram") === col("b.gram") && col("a.__bk") === col("b.__bk") &&
+    a.join(b, col("a.__bk") === col("b.__bk") && col("a.gram") === col("b.gram") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_grams").as("__na"), col("b.n_grams").as("__nb"))
@@ -117,10 +136,19 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // Confirmation re-attaches grams by BROADCASTING the candidate pairs
+    // into two scans of g, not by shuffling g's gram payload by doc id into
+    // sort-merge joins (the round-5 plan moved the full gram table through
+    // two exchanges; guide §8.4 — attach the small decision table to the
+    // heavy rows, never re-shuffle the heavy rows). Candidate pairs are
+    // small BY CONSTRUCTION: they are the near-dup density the banding is
+    // tuned to surface — if they ever approached corpus scale, the
+    // (bands, rows) parameters are wrong long before the broadcast is.
     val gr = g.select(col("doc_id"), col("grams"))
-    pairs
-      .join(gr.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
-      .join(gr.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+    val withGa = gr.join(broadcast(pairs), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("grams").as("ga"))
+    gr.withColumnRenamed("grams", "gb")
+      .join(broadcast(withGa), col("doc_id") === col("doc_b"))
       .withColumn("inter_cnt", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("union_cnt", size(array_union(col("ga"), col("gb"))))
       .filter(col("inter_cnt") >= col("union_cnt") * tau)
@@ -183,11 +211,14 @@ object Dedup {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    // Same broadcast-the-candidates confirm as lshConfirmPairs: the round-5
+    // plan shuffled the embedding payload by vec id through two sort-merge
+    // exchanges; candidates are the near-dup density and stay broadcast-small.
     val e = emb.select(col("vec_id"), col("embedding"))
-    pairs
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("__ea")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("__eb")), Seq("vec_b"))
-      .filter(Similarity.cosine(col("__ea"), col("__eb")) >= tau)
+    val withA = e.join(broadcast(pairs), col("vec_id") === col("vec_a"))
+      .select(col("vec_a"), col("vec_b"), col("embedding").as("__ea"))
+    e.join(broadcast(withA), col("vec_id") === col("vec_b"))
+      .filter(Similarity.cosine(col("embedding"), col("__ea")) >= tau)
       .select(col("vec_a"), col("vec_b"))
   }
 
@@ -234,17 +265,21 @@ object Dedup {
     var iter = 1
     var done = false
     while (!done && iter < maxIter) {
-      // candidate labels: own label ∪ labels flowing across each edge
+      // candidate labels: own label ∪ labels flowing across each edge. The
+      // own rows are tagged so the round's aggregation ALSO carries each
+      // node's previous label out as __old — the convergence probe then
+      // reads the pinned round output (one cheap scan, no join), halving
+      // the per-round job count vs the old separate next ⋈ labels probe
+      // (round-5 verdict #5). min(when(__own, rep)) is null-skipping and
+      // type-generic; every node contributes exactly one own row.
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("rep"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("doc_id")).agg(min(col("rep")).as("rep")).localCheckpoint()
-      // convergence probe as a 1-row aggregate over the two pinned label
-      // sets (existence of an improved label, not a count)
-      val changed = next.join(labels.withColumnRenamed("rep", "__old"), Seq("doc_id"))
-        .agg(coalesce(max(when(col("rep") < col("__old"), 1).otherwise(0)), lit(0)).as("c"))
-        .head().getInt(0) == 1
-      labels = next
+        .select(col("dst").as("doc_id"), col("rep"), lit(false).as("__own"))
+      val next = labels.withColumn("__own", lit(true)).unionByName(prop)
+        .groupBy(col("doc_id"))
+        .agg(min(col("rep")).as("rep"), min(when(col("__own"), col("rep"))).as("__old"))
+        .localCheckpoint()
+      val changed = next.where(col("rep") < col("__old")).limit(1).count() > 0
+      labels = next.select(col("doc_id"), col("rep"))
       iter += 1
       done = !changed
     }

@@ -157,13 +157,18 @@ object TextAnalysis {
   private[graft] def fingerprintConfirmPairs(fps: DataFrame, minShared: Int,
                                              maxPostings: Option[Int]): DataFrame = {
     val fp0 = fps.select(col("doc_id"), explode(col("fingerprint")).as("fp"))
-    val fp = maxPostings match {
-      case None => fp0
-      case Some(cap) =>
-        val freq = fp0.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap).select(col("fp"))
-        fp0.join(freq, Seq("fp")) // hot values drop out before the self-join
+    // Posting frequency in one window pass keyed like the self-join below
+    // (exchange planned once, reused by both sides): df = 1 fingerprints
+    // cannot form a pair and are dropped exactly — usually most of the
+    // posting table — and the df cap (hot values) rides the same pass.
+    val wdf = Window.partitionBy(col("fp"))
+    val capOk = maxPostings match {
+      case Some(cap) => col("__df") <= cap
+      case None => lit(true)
     }
+    val fp = fp0.withColumn("__df", count(lit(1)).over(wdf))
+      .filter(col("__df") >= 2 && capOk)
+      .select(col("doc_id"), col("fp"))
     val a = fp.alias("a")
     val b = fp.alias("b")
     a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -1,8 +1,87 @@
 package graft.spark
 
 import graft.format.TokenRow
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, Dataset, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** tokenize_words(text): whitespace-split `text` and map each word through
+  * the BROADCAST corpus vocabulary to its dense id — one pass over the
+  * string bytes per row, no explode, no join, no shuffle. Replaces the
+  * round-1 posexplode ⋈ vocab ⋈ regroup plan, whose groupBy(doc_id) +
+  * collect_list shuffled every (pos, id) struct of the corpus (~20 B/token
+  * through the exchange) and re-sorted every document — tokenization was
+  * the dominant cost of every token-table consumer (guide §2.4: remove
+  * shuffles outright). The vocabulary stays DATA (a broadcast value, like
+  * the old broadcast-joined table), never a serialized literal in the plan.
+  * Word splitting is byte-level on the 6 ASCII whitespace chars of java
+  * regex \s ([ \t\n\x0B\f\r]) — multi-byte UTF-8 chars never contain ASCII
+  * bytes, so this equals split(trim(text), "\\s+") + drop-empties exactly.
+  * Words absent from the vocabulary are dropped (the old inner join's
+  * semantics; the corpus vocabulary contains every corpus word, so this
+  * never fires on derived inputs).
+  */
+case class TokenizeWords(child: Expression, vocab: Broadcast[Array[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "tokenize_words"
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  def tokenize(text: UTF8String): ArrayData = {
+    val lookup = TokenizeWords.lookupFor(vocab)
+    val bytes = text.getBytes
+    val len = bytes.length
+    var out = new Array[Int](math.max(len >> 3, 8))
+    var n = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        val id = lookup.get(UTF8String.fromBytes(bytes, start, i - start))
+        if (id != null) {
+          if (n == out.length) out = java.util.Arrays.copyOf(out, n << 1)
+          out(n) = id.intValue()
+          n += 1
+        }
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n))
+  }
+
+  override protected def nullSafeEval(v: Any): Any = tokenize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenizer", this, classOf[TokenizeWords].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.tokenize($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenizeWords = copy(child = c)
+}
+
+object TokenizeWords {
+  // word → id map built once per JVM per broadcast (tasks deserialize their
+  // own expression instances; the map is vocab-sized and shared)
+  private val maps =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.HashMap[UTF8String, Integer]]()
+  private[spark] def lookupFor(b: Broadcast[Array[String]]): java.util.HashMap[UTF8String, Integer] =
+    maps.computeIfAbsent(b.id, _ => {
+      val words = b.value
+      val m = new java.util.HashMap[UTF8String, Integer](words.length * 2)
+      var i = 0
+      while (i < words.length) { m.put(UTF8String.fromString(words(i)), Integer.valueOf(i)); i += 1 }
+      m
+    })
+}
 
 /** Deterministic derivations of the north-rule input shape
   * (doc_id:string, tokens:array<int32>, n_tok:int32, source:string) from the
@@ -42,40 +121,47 @@ object Tokenize {
   private val docCache =
     scala.collection.mutable.HashMap.empty[(SparkSession, String), (Dataset[TokenRow], Map[String, Int])]
 
-  /** documents.parquet → token table, via a broadcast join against the
-    * vocabulary table: posexplode(words) ⋈ vocab → regroup in word order.
-    * The vocabulary is data, not plan: a multi-million-word vocab stays a
-    * (broadcast) table instead of a serialized literal map in every task's
-    * plan (round-1 verdict item). Docs with no words keep an empty tokens
-    * array via the left join. The driver-side Map is derived from the SAME
-    * cached vocabDf that feeds the join (the round-2 advisor found the
-    * cache was never hit — vocabulary(docs) rebuilt the lineage).
+  /** documents.parquet → token table, via the TokenizeWords expression over
+    * a BROADCAST vocabulary: one byte-level pass per row, no explode, no
+    * join, no shuffle — the round-1 posexplode ⋈ vocab ⋈ groupBy plan
+    * shuffled ~20 B/token of (pos, id) structs and re-sorted every document
+    * on EVERY pass, and was the dominant cost of every token-table consumer
+    * (guide §2.4). The vocabulary stays data (broadcast value, not plan).
+    * Ids are identical to vocabularyDf's: sorted distinct words, rank ids.
+    *
+    * The resulting Dataset is CACHED (per session+dir, evicted with the
+    * session): a dozen driver queries — several of which reference the
+    * token table two or three times inside one plan — re-tokenized the
+    * corpus from parquet on every action. The first consumer pays the
+    * one materialization inside its own timed region (the same contract as
+    * Queries.chunkCache).
     */
   def documents(spark: SparkSession, sfDir: String): (Dataset[TokenRow], Map[String, Int]) = synchronized {
     docCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     docCache.getOrElseUpdate((spark, sfDir), {
       import spark.implicits._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      // tiny (vocab-sized); cached: materialized once by the collect below,
-      // then reused by the broadcast join on every action over the result
-      val vocabDf = vocabularyDf(docs).cache()
-      val vmap = vocabDf.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-      val words = docs.select(col("doc_id"), posexplode(
-          filter(split(trim(col("text")), "\\s+"), w => w =!= lit("")))
-        .as(Seq("pos", "w")))
-      val tokenized = words.join(broadcast(vocabDf), Seq("w"))
-        .groupBy(col("doc_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
-          s => s.getField("id").cast("int")).as("tokens"))
-      val ds = docs.select(col("doc_id"), col("source"))
-        .join(tokenized, Seq("doc_id"), "left")
+      // one distributed distinct+sort pass; ids = rank in sorted order,
+      // exactly vocabularyDf's assignment (collected: the driver Map half
+      // of this API always materialized the vocabulary anyway)
+      val sortedWords = docs
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "").distinct().orderBy("w")
+        .as[String].collect()
+      val vmap = sortedWords.iterator.zipWithIndex.toMap
+      val bc = spark.sparkContext.broadcast(sortedWords)
+      val ds = docs
         .select(
           col("doc_id").cast("string").as("doc_id"),
-          coalesce(col("tokens"), array().cast("array<int>")).as("tokens"),
+          // null text → empty tokens, like the old left join + coalesce
+          coalesce(GraftBridge.column(
+              TokenizeWords(GraftBridge.expression(col("text")), bc)),
+            array().cast("array<int>")).as("tokens"),
           col("source"))
         .withColumn("n_tok", size(col("tokens")))
         .select("doc_id", "tokens", "n_tok", "source")
         .as[TokenRow]
+        .cache()
       (ds, vmap)
     })
   }
