@@ -1021,7 +1021,9 @@ case class ChunkTokenCounts(children: Seq[Expression]) extends Expression {
                  header: Array[Byte], codecU: UTF8String,
                  minTok: Int, maxTok: Int): ArrayData = {
     val offs = Offsets.unpack(offBytes, rowCount)
-    val (toks, cnts) = CountMatch.chunkCounts(codecU.toString, header, data,
+    // stats-driven sink: dense fold when the span fits, sorted fold when it
+    // does not (CountMatch.TokenSortedFold — replaces the sparse LongMap)
+    val (toks, cnts) = CountMatch.chunkCountsAuto(codecU.toString, header, data,
       offs, rowCount, minTok, maxTok)
     val rows = new Array[Any](toks.length)
     var i = 0
@@ -1065,7 +1067,10 @@ case class BigramCountsGenerator(children: Seq[Expression])
     val rowCount = vals(2).asInstanceOf[Int]
     if (rowCount == 0) return Iterator.empty
     val offs = Offsets.unpack(vals(1).asInstanceOf[Array[Byte]], rowCount)
-    val (t1s, t2s, cnts) = CountMatch.chunkBigrams(
+    // stats-driven sink: narrow spans fold per chunk (dense counter), wide
+    // spans stream raw triples — the sparse-map fold was the dominant cost
+    // of the compressed bigram histogram (see CountMatch.BigramAppender)
+    val (t1s, t2s, cnts) = CountMatch.chunkBigramsAuto(
       vals(4).asInstanceOf[UTF8String].toString, vals(3).asInstanceOf[Array[Byte]],
       vals(0).asInstanceOf[Array[Byte]], offs, rowCount,
       vals(5).asInstanceOf[Int], vals(6).asInstanceOf[Int])

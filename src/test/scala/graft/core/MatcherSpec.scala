@@ -391,4 +391,47 @@ class MatcherSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.nonEmpty)
   }
+
+  test("sorted-fold sinks sum to the folded bigram/token histograms per codec") {
+    // token range wide enough to force BOTH sorted-fold paths (bigram span > 1024, token span > 2M) + repeats (so
+    // duplicate triples actually occur and must merge correctly downstream)
+    val rnd = new Random(7)
+    val rows = (0 until 40).map { _ =>
+      val n = rnd.nextInt(60)
+      Array.fill(n)(if (rnd.nextBoolean()) rnd.nextInt(5) else rnd.nextInt(50000000))
+    }
+    val stats = ChunkStats.compute(rows)
+    for (codec <- Codecs.all) {
+      val eligible = !((codec eq DictCodec) && stats.distinctSorted.isEmpty) &&
+        !((codec eq BitPackCodec) && stats.minTok < 0)
+      if (eligible) {
+        val header = codec.buildHeader(rows, stats)
+        val enc = codec.encoder(header)
+        val out = new ByteWriter()
+        val offs = new Array[Int](rows.length + 1)
+        rows.zipWithIndex.foreach { case (r, i) => enc.encode(r, out); offs(i + 1) = out.size }
+        def summed(t: (Array[Int], Array[Int], Array[Long])): Map[(Int, Int), Long] = {
+          val m = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+          t._1.indices.foreach { i =>
+            val k = (t._1(i), t._2(i))
+            m(k) = m.getOrElse(k, 0L) + t._3(i)
+          }
+          m.toMap
+        }
+        val folded = summed(CountMatch.chunkBigrams(codec.name, header, out.toBytes,
+          offs, rows.length, stats.minTok, stats.maxTok))
+        val streamed = summed(CountMatch.chunkBigramsAuto(codec.name, header, out.toBytes,
+          offs, rows.length, stats.minTok, stats.maxTok))
+        assert(streamed == folded, codec.name)
+        def summed1(t: (Array[Int], Array[Long])): Map[Int, Long] =
+          t._1.indices.map(i => t._1(i) -> t._2(i))
+            .groupMapReduce(_._1)(_._2)(_ + _)
+        val foldedC = summed1(CountMatch.chunkCounts(codec.name, header, out.toBytes,
+          offs, rows.length, stats.minTok, stats.maxTok))
+        val streamedC = summed1(CountMatch.chunkCountsAuto(codec.name, header, out.toBytes,
+          offs, rows.length, stats.minTok, stats.maxTok))
+        assert(streamedC == foldedC, codec.name)
+      }
+    }
+  }
 }
