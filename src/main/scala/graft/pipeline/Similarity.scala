@@ -68,10 +68,18 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 4,
               nTables: Int = 8, dims: Int = 64, seed: Long = 7L): DataFrame = {
-    val index = lshIndex(emb, nBits, nTables, seed)
-    val q = broadcast(index.filter(col("vec_id") === queryId)
+    // Query path: the bucket join needs no physical co-location — the query
+    // side is broadcast — so the one-off query skips lshIndex's repartition
+    // (guide §2.4: that exchange placed data for REUSE, which a single query
+    // never collects; the persistent-index story lives in ivfSignIndexWrite,
+    // where the layout is written to storage once). The query row's buckets
+    // come from a vec_id-pushed-down scan, not a full bucketing pass.
+    val buckets = emb.select(col("vec_id"), col("embedding"),
+      posexplode(PipelineFunctions.lshBuckets(col("embedding"), nBits, nTables, seed))
+        .as(Seq("tbl", "bucket")))
+    val q = broadcast(buckets.filter(col("vec_id") === queryId)
       .select(col("tbl"), col("bucket"), col("embedding").as("q_emb")))
-    index.filter(col("vec_id") =!= queryId)
+    buckets.filter(col("vec_id") =!= queryId)
       .join(q, Seq("tbl", "bucket"))
       .select(col("vec_id"), col("embedding"), col("q_emb"))
       .dropDuplicates("vec_id")

@@ -166,9 +166,12 @@ object TextAnalysis {
       case Some(cap) => col("__df") <= cap
       case None => lit(true)
     }
-    val fp = fp0.withColumn("__df", count(lit(1)).over(wdf))
+    // Pin the reduced posting table: the self-join reads it twice, and each
+    // unpinned side re-ran the winnowing kernel + window pass (§8.4 — same
+    // shape as Dedup.jaccardConfirmPairs; survivors only, never the corpus).
+    val fp = Dedup.pin(fp0.withColumn("__df", count(lit(1)).over(wdf))
       .filter(col("__df") >= 2 && capOk)
-      .select(col("doc_id"), col("fp"))
+      .select(col("doc_id"), col("fp")))
     val a = fp.alias("a")
     val b = fp.alias("b")
     a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
