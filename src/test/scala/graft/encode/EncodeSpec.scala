@@ -38,6 +38,26 @@ class EncodeSpec extends AnyFunSuite {
     assert(decoded.count() == input.count())
   }
 
+  test("driver-side vocabulary sort equals the distributed orderBy on adversarial words") {
+    import spark.implicits._
+    // supplementary-plane (4-byte UTF-8), 3-byte BMP, combining marks,
+    // empty-adjacent prefixes: exactly the words where UTF-16
+    // String.compareTo and UTF-8 byte order disagree
+    val words = Seq("zeta", "Zeta", "😀emoji", "�repl", "a",
+      "ab", "á", "é", "中文", "0num", "~tilde", "za")
+    val df = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, s" $w ", "t") }
+      .toDF("doc_id", "text", "source")
+    val distributed = Tokenize.vocabularyDf(df).orderBy("id")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val driver = words.toArray
+    java.util.Arrays.sort(driver, (a: String, b: String) => Tokenize.utf8Compare(a, b))
+    assert(distributed.map(_._1).toSeq == driver.toSeq,
+      s"driver UTF-8 sort diverges from distributed orderBy:\n" +
+        s"  distributed=${distributed.map(_._1).mkString(",")}\n" +
+        s"  driver=${driver.mkString(",")}")
+  }
+
   test("decode rejects corrupt data and unsupported format versions") {
     import spark.implicits._
     val (input, _) = Tokenize.documents(spark, sf)
