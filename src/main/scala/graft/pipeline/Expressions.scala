@@ -41,9 +41,17 @@ case class ShingleHashes(child: Expression, n: Int)
       out(i) = h
       i += 1
     }
-    val distinct = out.distinct
-    java.util.Arrays.sort(distinct)
-    new GenericArrayData(distinct)
+    // sort-then-unique == distinct-then-sort on primitives, without the
+    // boxed per-row HashSet that Array.distinct allocates
+    java.util.Arrays.sort(out)
+    var w = 1
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (w == out.length) out else java.util.Arrays.copyOf(out, w))
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -53,12 +61,15 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  // lane seeds are row-independent; one mix per lane per task, not per row
+  @transient private lazy val hseeds: Array[Long] =
+    Array.tabulate(k)(i => Hashing.mix64(seed + i))
   override protected def nullSafeEval(v: Any): Any = {
     val shingles = v.asInstanceOf[ArrayData].toLongArray()
     val sig = new Array[Long](k)
     var i = 0
     while (i < k) {
-      val hseed = Hashing.mix64(seed + i)
+      val hseed = hseeds(i)
       var min = Long.MaxValue
       var j = 0
       while (j < shingles.length) {
@@ -81,20 +92,46 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
   override protected def nullSafeEval(v: Any): Any = {
     val toks = v.asInstanceOf[ArrayData].toIntArray()
-    val acc = new Array[Int](64)
+    // SWAR bit votes: the per-bit tally acc(b) = Σ(±1) equals
+    // 2·bitCnt(b) − n, so sig bit b is set iff 2·bitCnt(b) > n. Eight
+    // 8-lane byte counters batch up to 255 hashes with 8 shift-mask-adds
+    // per token instead of a 64-step per-bit loop — same integers, same
+    // signature.
+    val bitCnt = new Array[Long](64)
+    val sw = new Array[Long](8)
+    var batch = 0
+    def flush(): Unit = {
+      var w = 0
+      while (w < 8) {
+        val s = sw(w)
+        var j = 0
+        while (j < 8) { bitCnt(8 * j + w) += (s >>> (8 * j)) & 0xffL; j += 1 }
+        sw(w) = 0L
+        w += 1
+      }
+      batch = 0
+    }
     var i = 0
     while (i < toks.length) {
       val h = Hashing.mix64(toks(i).toLong)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
-      }
+      val m = 0x0101010101010101L
+      sw(0) += h & m
+      sw(1) += (h >>> 1) & m
+      sw(2) += (h >>> 2) & m
+      sw(3) += (h >>> 3) & m
+      sw(4) += (h >>> 4) & m
+      sw(5) += (h >>> 5) & m
+      sw(6) += (h >>> 6) & m
+      sw(7) += (h >>> 7) & m
+      batch += 1
+      if (batch == 255) flush()
       i += 1
     }
+    if (batch > 0) flush()
+    val n = toks.length.toLong
     var sig = 0L
     var b = 0
-    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    while (b < 64) { if (2L * bitCnt(b) > n) sig |= (1L << b); b += 1 }
     java.lang.Long.valueOf(sig)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
@@ -121,9 +158,10 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
       hashes(i) = h
       i += 1
     }
-    val sel = scala.collection.mutable.SortedSet.empty[Long]
-    var win = 0
     val lastWin = math.max(m - w, 0)
+    val mins = new Array[Long](lastWin + 1)
+    var nm = 0
+    var win = 0
     while (win <= lastWin) {
       // minimum in UNSIGNED 64-bit order (hashes are unsigned values carried
       // in signed longs; -1L is the unsigned maximum) — keeps the selection
@@ -136,10 +174,23 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
         if (java.lang.Long.compareUnsigned(hashes(j), min) < 0) min = hashes(j)
         j += 1
       }
-      sel += min
+      // consecutive windows usually share a min; dedup the rest below
+      if (nm == 0 || mins(nm - 1) != min) { mins(nm) = min; nm += 1 }
       win += 1
     }
-    new GenericArrayData(sel.toArray)
+    // sorted distinct in SIGNED order, matching the previous SortedSet[Long]
+    // iteration order (the oracle sorts the SET; order within the array is
+    // an implementation detail pinned by the tests)
+    val sel = java.util.Arrays.copyOf(mins, nm)
+    java.util.Arrays.sort(sel)
+    var wout = if (sel.length == 0) 0 else 1
+    var i2 = 1
+    while (i2 < sel.length) {
+      if (sel(i2) != sel(wout - 1)) { sel(wout) = sel(i2); wout += 1 }
+      i2 += 1
+    }
+    new GenericArrayData(
+      if (wout == sel.length) sel else java.util.Arrays.copyOf(sel, wout))
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -184,17 +235,21 @@ case class LshBuckets(child: Expression, nBits: Int, nTables: Int, seed: Long)
   override def prettyName: String = "lsh_buckets"
   override protected def nullSafeEval(v: Any): Any = {
     val emb = v.asInstanceOf[ArrayData].toFloatArray()
+    // hyperplane signs are row-independent — resolve the ±1 table once per
+    // (params, dims) per JVM instead of nTables×nBits×dims mix64 calls per
+    // row; dot accumulation order and values are unchanged
+    val tab = LshBuckets.signTable(seed, nBits, nTables, emb.length)
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
       var bucket = 0L
       var b = 0
       while (b < nBits) {
+        val off = (t * nBits + b) * emb.length
         var dot = 0.0
         var d = 0
         while (d < emb.length) {
-          val sign = if ((Hashing.mix64(seed + 1000L * t + b.toLong * 131071L + d) & 1L) == 1L) 1.0 else -1.0
-          dot += emb(d) * sign
+          dot += emb(d) * tab(off + d)
           d += 1
         }
         if (dot >= 0) bucket |= (1L << b)
@@ -206,6 +261,31 @@ case class LshBuckets(child: Expression, nBits: Int, nTables: Int, seed: Long)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object LshBuckets {
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Int), Array[Double]]()
+  private[pipeline] def signTable(seed: Long, nBits: Int, nTables: Int,
+                                  dims: Int): Array[Double] =
+    tables.computeIfAbsent((seed, nBits, nTables, dims), _ => {
+      val tab = new Array[Double](nTables * nBits * dims)
+      var t = 0
+      while (t < nTables) {
+        var b = 0
+        while (b < nBits) {
+          var d = 0
+          while (d < dims) {
+            tab((t * nBits + b) * dims + d) =
+              if ((Hashing.mix64(seed + 1000L * t + b.toLong * 131071L + d) & 1L) == 1L) 1.0 else -1.0
+            d += 1
+          }
+          b += 1
+        }
+        t += 1
+      }
+      tab
+    })
 }
 
 /** sign_dots(emb): dot products of the embedding against nCentroids
@@ -220,14 +300,17 @@ case class SignDots(child: Expression, nCentroids: Int, seed: Long)
   override def prettyName: String = "sign_dots"
   override protected def nullSafeEval(v: Any): Any = {
     val emb = v.asInstanceOf[ArrayData].toFloatArray()
+    // centroid signs are row-independent — table resolved once per
+    // (params, dims) per JVM; accumulation order and values unchanged
+    val tab = SignDots.signTable(seed, nCentroids, emb.length)
     val out = new Array[Double](nCentroids)
     var t = 0
     while (t < nCentroids) {
+      val off = t * emb.length
       var dot = 0.0
       var d = 0
       while (d < emb.length) {
-        val sign = if ((Hashing.mix64(seed + 1000L * t + d) & 1L) == 1L) 1.0 else -1.0
-        dot += emb(d) * sign
+        dot += emb(d) * tab(off + d)
         d += 1
       }
       out(t) = dot
@@ -236,6 +319,27 @@ case class SignDots(child: Expression, nCentroids: Int, seed: Long)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object SignDots {
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+  private[pipeline] def signTable(seed: Long, nCentroids: Int,
+                                  dims: Int): Array[Double] =
+    tables.computeIfAbsent((seed, nCentroids, dims), _ => {
+      val tab = new Array[Double](nCentroids * dims)
+      var t = 0
+      while (t < nCentroids) {
+        var d = 0
+        while (d < dims) {
+          tab(t * dims + d) =
+            if ((Hashing.mix64(seed + 1000L * t + d) & 1L) == 1L) 1.0 else -1.0
+          d += 1
+        }
+        t += 1
+      }
+      tab
+    })
 }
 
 /** sample_bucket(id, m): splitmix64(id) mod m, UNSIGNED — the deterministic

@@ -1055,9 +1055,13 @@ case class ChunkTokenCounts(children: Seq[Expression]) extends Expression {
 case class BigramCountsGenerator(children: Seq[Expression])
     extends Expression with Generator with CodegenFallback {
   // children: data, offsets, row_count, symtab, codec, min_tok, max_tok
+  // (t1, t2) is emitted PACKED into one long — (t1 << 32) | (t2 zero-
+  // extended), a bijection that round-trips any int32 pair exactly — so the
+  // downstream groupBy aggregates one 8-byte key instead of two int columns
+  // (narrower agg-buffer rows, one-column hashing); the consumer unpacks
+  // after the aggregation (query/Graft.bigramHistogram).
   override def elementSchema: StructType = StructType(Seq(
-    StructField("t1", IntegerType, nullable = false),
-    StructField("t2", IntegerType, nullable = false),
+    StructField("pair", LongType, nullable = false),
     StructField("cnt", LongType, nullable = false)))
   override def prettyName: String = "bigram_counts"
 
@@ -1074,12 +1078,13 @@ case class BigramCountsGenerator(children: Seq[Expression])
       vals(4).asInstanceOf[UTF8String].toString, vals(3).asInstanceOf[Array[Byte]],
       vals(0).asInstanceOf[Array[Byte]], offs, rowCount,
       vals(5).asInstanceOf[Int], vals(6).asInstanceOf[Int])
-    val out = new GenericInternalRow(3)
+    val out = new GenericInternalRow(2)
     new Iterator[InternalRow] {
       private var i = 0
       def hasNext: Boolean = i < t1s.length
       def next(): InternalRow = {
-        out.setInt(0, t1s(i)); out.setInt(1, t2s(i)); out.setLong(2, cnts(i))
+        out.setLong(0, (t1s(i).toLong << 32) | (t2s(i).toLong & 0xffffffffL))
+        out.setLong(1, cnts(i))
         i += 1
         out
       }

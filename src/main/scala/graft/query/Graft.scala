@@ -613,13 +613,21 @@ object Graft {
     * array-of-structs + explode.
     */
   def bigramHistogram(chunks: DataFrame): DataFrame = {
+    // aggregate on the generator's PACKED (t1 << 32 | t2) key — one 8-byte
+    // group column instead of two ints through both aggregation levels and
+    // the exchange — and unpack after the final aggregation. Arithmetic
+    // shifts sign-extend each half back into int32 range BEFORE the cast
+    // (ANSI-safe — no truncating cast), so any int32 pair, negative tokens
+    // included, round-trips exactly.
     chunks
       .select(mkCol(BigramCountsGenerator(
         Seq(col2expr(col("data")), col2expr(col("offsets")), col2expr(col("row_count")),
           col2expr(col("symtab")), col2expr(col("codec")),
           col2expr(col("stats.min_tok")), col2expr(col("stats.max_tok"))))))
-      .groupBy(col("t1"), col("t2"))
+      .groupBy(col("pair"))
       .agg(sum(col("cnt")).as("n"))
+      .select(shiftright(col("pair"), 32).cast("int").as("t1"),
+        shiftright(shiftleft(col("pair"), 32), 32).cast("int").as("t2"), col("n"))
   }
 
   /** Late materialization (the reference's decode-only-matches behavior,
