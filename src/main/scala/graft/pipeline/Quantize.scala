@@ -257,6 +257,10 @@ object Quantize {
         quantizeI8(col("embedding")).as("q"),
         i8Scale(col("embedding")).as("scale"),
         col("__cell"))
+      // hash write-distribution on the partition column — same rationale as
+      // Similarity.ivfSignIndexWrite (guide §6): parallel one-file-per-cell
+      // writers instead of a serial per-task dynamic-partition file chain
+      .repartition(nlist * 2, col("__cell"))
       .write.partitionBy("__cell").mode("overwrite").parquet(path)
   }
 

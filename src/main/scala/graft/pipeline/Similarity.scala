@@ -140,6 +140,13 @@ object Similarity {
     withDots.withColumn("__cell",
         (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast("int"))
       .drop("__dots")
+      // hash write-distribution on the partition column (guide §6 / Iceberg
+      // write.distribution-mode=hash): without it every input task writes up
+      // to nlist files SEQUENTIALLY through the dynamic-partition writer —
+      // task_count × nlist small files at scale, and a single-task serial
+      // file chain at verify scale. 2×nlist shuffle partitions keep hash
+      // collisions from stacking several cells on one writer task.
+      .repartition(nlist * 2, col("__cell"))
       .write.partitionBy("__cell").mode("overwrite").parquet(path)
   }
 
